@@ -1,0 +1,171 @@
+"""Batched ray-primitive intersection.
+
+The reference intersects one ray against one primitive at a time behind
+virtual calls (``Sphere::is_hit_by`` at ``offline prototype/.../Sphere.cpp:
+13-43``, Möller-Trumbore at ``BVH Ray Tracer/.../TriangleMesh.h:19-45``,
+nearest-hit scan at ``CompositeHittable.cpp:11-28``).  TPU-first design: dense
+(R rays x N primitives) vectorized tests reduced with a masked argmin — pure
+VPU work with static shapes.  Brute force is *exact* and is the fastest choice
+for the reference's own scenes (Cornell box = 32 triangles); large meshes go
+through ``ops.bvh`` instead.
+
+All functions are differentiable; integrators that need "detached traversal,
+attached shading" stop gradients on the returned indices and re-evaluate the
+hit point from ids (see ``ops.hitinfo.recompute_hit``).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from cpu_based_ray_tracer_tpu.ops import vec
+from cpu_based_ray_tracer_tpu.scene import Scene, _pytree
+
+INF = jnp.inf
+# Sentinel "no hit": reference IntersectionRecord defaults t to DBL_MAX
+# (Monte Carlo Path Tracer/.../IntersectionRecord.h:24).
+NO_HIT_T = jnp.float32(jnp.finfo(jnp.float32).max)
+
+
+@_pytree
+class Hit:
+    """Hit-record SoA over a batch of rays (reference ``HitRecord.h`` /
+    ``IntersectionRecord.h`` as arrays).
+
+    ``geom_normal`` is the *outward* geometric normal: for spheres
+    ``(p - c) / radius`` so a negative radius flips it (the hollow-bubble
+    trick, ``offline prototype/.../Dielectric.h:36-42``); for triangles the
+    precomputed face normal.  ``front`` is True when the ray arrived from the
+    side the geometric normal points to (``HitRecord.h:26-31``).
+    """
+
+    t: jax.Array            # (R,) distance, NO_HIT_T when miss
+    hit: jax.Array          # (R,) bool
+    is_triangle: jax.Array  # (R,) bool (False: sphere)
+    prim: jax.Array         # (R,) i32 primitive index within its SoA
+    material: jax.Array     # (R,) i32 material id
+    point: jax.Array        # (R, 3) hit location
+    geom_normal: jax.Array  # (R, 3) outward unit geometric normal
+    front: jax.Array        # (R,) bool
+    uv: jax.Array           # (R, 2) interpolated texture coords (triangles)
+
+    @property
+    def facing_normal(self) -> jax.Array:
+        """Normal flipped to oppose the incident ray (RTIOW ``set_normal``,
+        ``HitRecord.h:26-31``; MC flips with dot(n, W_out) < 0 at
+        ``Monte Carlo Path Tracer/.../Renderer.cpp:163-166`` — equivalent)."""
+        return jnp.where(self.front[..., None], self.geom_normal,
+                         -self.geom_normal)
+
+
+def intersect_spheres(origin, direction, centers, radii, t_min, t_max):
+    """Ray-sphere batch test.
+
+    origin/direction: (R, 3); centers: (S, 3); radii: (S,).
+    Returns per-pair t (R, S) with NO_HIT_T for miss.
+
+    Half-b quadratic with near-then-far root selection exactly as the
+    reference (``offline prototype/.../Sphere.cpp:13-43``): if the near root
+    falls outside (t_min, t_max) the far root is tried.
+    """
+    oc = origin[:, None, :] - centers[None, :, :]           # (R, S, 3)
+    a = jnp.sum(direction * direction, -1)[:, None]          # (R, 1)
+    half_b = jnp.sum(oc * direction[:, None, :], -1)         # (R, S)
+    c = jnp.sum(oc * oc, -1) - (radii * radii)[None, :]      # (R, S)
+    disc = half_b * half_b - a * c
+    ok = disc > 0.0
+    sq = jnp.sqrt(jnp.where(ok, disc, 0.0))
+    t_near = (-half_b - sq) / a
+    t_far = (-half_b + sq) / a
+    near_ok = ok & (t_near > t_min) & (t_near < t_max)
+    far_ok = ok & (t_far > t_min) & (t_far < t_max)
+    t = jnp.where(near_ok, t_near, jnp.where(far_ok, t_far, NO_HIT_T))
+    return t
+
+
+def intersect_triangles(origin, direction, v0, e1, e2, t_min, t_max):
+    """Möller-Trumbore batch test (``BVH Ray Tracer/.../TriangleMesh.h:19-45``).
+
+    origin/direction: (R, 3); v0/e1/e2: (N, 3).
+    Returns (t, b1, b2) each (R, N); t == NO_HIT_T on miss.
+    Accept iff t, b1, b2, (1 - b1 - b2) all >= 0 (and t > t_min), as the
+    reference; degenerate triangles (|det| ~ 0) never hit.
+    """
+    s1 = jnp.cross(direction[:, None, :], e2[None, :, :])    # (R, N, 3)
+    det = jnp.sum(s1 * e1[None, :, :], -1)                   # (R, N)
+    inv_det = jnp.where(jnp.abs(det) > 1e-12, 1.0 / det, 0.0)
+    s = origin[:, None, :] - v0[None, :, :]
+    s2 = jnp.cross(s, e1[None, :, :])
+    t = jnp.sum(s2 * e2[None, :, :], -1) * inv_det
+    b1 = jnp.sum(s1 * s, -1) * inv_det
+    b2 = jnp.sum(s2 * direction[:, None, :], -1) * inv_det
+    ok = ((jnp.abs(det) > 1e-12) & (t > t_min) & (t < t_max)
+          & (b1 >= 0.0) & (b2 >= 0.0) & (1.0 - b1 - b2 >= 0.0))
+    return jnp.where(ok, t, NO_HIT_T), b1, b2
+
+
+def intersect_scene(scene: Scene, origin, direction,
+                    t_min: float = 0.0, t_max: float = INF) -> Hit:
+    """Nearest hit of each ray against every primitive (the reference's
+    ``CompositeHittable``/BVH nearest-hit semantics, t_max shrink included).
+
+    origin/direction: (R, 3).  Exact brute force; intended for scenes up to a
+    few thousand primitives (all reference scenes qualify).
+    """
+    sp, tr = scene.spheres, scene.triangles
+    t_s = intersect_spheres(origin, direction, sp.center, sp.radius,
+                            t_min, t_max)                       # (R, S)
+    t_t, b1, b2 = intersect_triangles(origin, direction, tr.v0, tr.e1, tr.e2,
+                                      t_min, t_max)             # (R, N)
+
+    best_s = jnp.argmin(t_s, axis=-1)                           # (R,)
+    ts = jnp.take_along_axis(t_s, best_s[:, None], -1)[:, 0]
+    best_t = jnp.argmin(t_t, axis=-1)
+    tt = jnp.take_along_axis(t_t, best_t[:, None], -1)[:, 0]
+
+    is_tri = tt < ts
+    t = jnp.minimum(ts, tt)
+    hit = t < NO_HIT_T
+    prim = jnp.where(is_tri, best_t, best_s)
+
+    point = origin + t[:, None] * direction
+
+    # Sphere geometric normal: (p - c) / radius — sign of radius flips it
+    # (Sphere.cpp:36; Dielectric.h bubble trick).
+    c_hit = sp.center[best_s]
+    r_hit = sp.radius[best_s]
+    n_sphere = (point - c_hit) / jnp.where(r_hit == 0.0, 1.0, r_hit)[:, None]
+    n_tri = tr.normal[best_t]
+    geom_n = jnp.where(is_tri[:, None], n_tri, n_sphere)
+    # Normalize defensively (sphere normal is unit up to fp error).
+    geom_n = vec.normalize(geom_n)
+
+    front = jnp.sum(geom_n * direction, -1) < 0.0
+
+    b1_hit = jnp.take_along_axis(b1, best_t[:, None], -1)[:, 0]
+    b2_hit = jnp.take_along_axis(b2, best_t[:, None], -1)[:, 0]
+    # Barycentric uv interpolation as in GetHitInfo
+    # (Whitted Style Ray Tracer/.../TriangleMesh.h:120-149).
+    uv_hit = (tr.uv0[best_t] * (1.0 - b1_hit - b2_hit)[:, None]
+              + tr.uv1[best_t] * b1_hit[:, None]
+              + tr.uv2[best_t] * b2_hit[:, None])
+    uv_hit = jnp.where(is_tri[:, None], uv_hit, 0.0)
+
+    mat = jnp.where(is_tri, tr.material[best_t], sp.material[best_s])
+
+    return Hit(t=jnp.where(hit, t, NO_HIT_T), hit=hit, is_triangle=is_tri,
+               prim=prim.astype(jnp.int32), material=mat.astype(jnp.int32),
+               point=point, geom_normal=geom_n, front=front, uv=uv_hit)
+
+
+def occluded(scene: Scene, origin, direction, max_dist,
+             t_min: float = 0.0, tolerance: float = 0.01) -> jax.Array:
+    """Shadow-ray test: True when something blocks before ``max_dist``.
+
+    Mirrors the MC shadow test `|to_sample| < occlusion.t + 0.01`
+    (``Monte Carlo Path Tracer/.../Renderer.cpp:183-186``): the +tolerance
+    keeps the light itself from shadowing its own sample.
+    """
+    h = intersect_scene(scene, origin, direction, t_min=t_min)
+    return ~(max_dist < h.t + tolerance)

@@ -1,0 +1,159 @@
+"""Vector math + stochastic direction sampling.
+
+Replaces the reference's per-stage header math (``Vector3D.h``,
+``VectorFloat.h``, ``WhittedUtilities.h``, ``NPPTToolbox.h``) with pure jnp
+functions over (..., 3) arrays.  All samplers are *counter-based*: they take an
+explicit PRNG key instead of the reference's ``thread_local std::mt19937``
+(``Walnut/Random.h:47``) — deterministic and order-independent under any
+sharding.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def dot(a, b):
+    return jnp.sum(a * b, axis=-1, keepdims=True)
+
+
+def norm(a):
+    return jnp.sqrt(jnp.maximum(jnp.sum(a * a, axis=-1, keepdims=True), 0.0))
+
+
+def normalize(a, eps: float = 0.0):
+    """Zero-safe normalize (reference ``VectorFloat.h:17-31`` guards the zero
+    vector; we divide by max(|a|, tiny))."""
+    n = norm(a)
+    return a / jnp.maximum(n, jnp.asarray(max(eps, 1e-20), a.dtype))
+
+
+def lerp(a, b, t):
+    """Whitted::lerp (``VectorFloat.h:17``)."""
+    return a * (1.0 - t) + b * t
+
+
+def reflect(d, n):
+    """Mirror reflection of direction d about unit normal n
+    (``Vector3D.h:233``, ``Whitted .../Renderer.h:41``)."""
+    return d - 2.0 * dot(d, n) * n
+
+
+def refract(d, n, eta_ratio):
+    """Snell refraction of *unit* incident d through unit normal n with
+    eta_ratio = eta_in / eta_out (``Vector3D.h:238-244``).  Returns the
+    (non-unit under TIR) refracted direction and a TIR mask; on TIR the
+    direction is the zero vector, matching the Whitted helper's contract
+    (``Whitted Style Ray Tracer/.../Renderer.h:47-77``)."""
+    cos_theta = jnp.minimum(-dot(d, n), 1.0)
+    sin2 = jnp.maximum(0.0, 1.0 - cos_theta * cos_theta)
+    sin2_refr = eta_ratio * eta_ratio * sin2
+    tir = sin2_refr > 1.0
+    cos_refr = jnp.sqrt(jnp.maximum(0.0, 1.0 - sin2_refr))
+    out = eta_ratio * d + (eta_ratio * cos_theta - cos_refr) * n
+    return jnp.where(tir, 0.0, out), jnp.squeeze(tir, -1)
+
+
+def schlick(cos_theta, eta_ratio):
+    """Schlick reflectance approximation
+    (``offline prototype/.../Dielectric.h:60-66``)."""
+    r0 = (1.0 - eta_ratio) / (1.0 + eta_ratio)
+    r0 = r0 * r0
+    return r0 + (1.0 - r0) * (1.0 - cos_theta) ** 5
+
+
+def fresnel_exact(cos_incident, eta_in, eta_out):
+    """Exact unpolarized Fresnel reflectance: mean of Rs and Rp
+    (``Whitted Style Ray Tracer/.../Renderer.h:79-109``).
+
+    ``cos_incident`` >= 0 is |cos| of the angle in the *incident* medium with
+    refractive index ``eta_in``; ``eta_out`` is the transmitted medium.
+    Returns 1.0 under total internal reflection.
+    """
+    cos_i = jnp.clip(cos_incident, 0.0, 1.0)
+    sin_i = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_i * cos_i))
+    sin_t = eta_in / eta_out * sin_i
+    tir = sin_t >= 1.0
+    cos_t = jnp.sqrt(jnp.maximum(0.0, 1.0 - sin_t * sin_t))
+    rs = (eta_in * cos_i - eta_out * cos_t) / (eta_in * cos_i + eta_out * cos_t)
+    rp = (eta_in * cos_t - eta_out * cos_i) / (eta_in * cos_t + eta_out * cos_i)
+    r = 0.5 * (rs * rs + rp * rp)
+    return jnp.where(tir, 1.0, r)
+
+
+def orthonormal_frame(n):
+    """Tangent frame (X, Y) completing unit normal n, using the same
+    |n.x|>|n.y| branch as the reference's local-frame construction
+    (``Monte Carlo Path Tracer/.../WhittedMaterial.h:89-114``) expressed with
+    ``jnp.where`` so it vectorizes."""
+    use_x = jnp.abs(n[..., 0:1]) > jnp.abs(n[..., 1:2])
+    y_a = jnp.stack([n[..., 2], jnp.zeros_like(n[..., 0]), -n[..., 0]], -1)
+    y_b = jnp.stack([jnp.zeros_like(n[..., 0]), n[..., 2], -n[..., 1]], -1)
+    y = normalize(jnp.where(use_x, y_a, y_b))
+    x = jnp.cross(y, n)
+    return x, y
+
+
+# --- Samplers -----------------------------------------------------------------
+
+def _uniforms(key, shape, n):
+    return jax.random.uniform(key, shape + (n,), dtype=jnp.float32)
+
+
+def random_in_unit_sphere(key, shape=()):
+    """Uniform in the unit ball (``Vector3D.h:192-198`` uses rejection; we use
+    the exact radius^(1/3) polar method — same distribution, no data-dependent
+    loop)."""
+    u = _uniforms(key, shape, 3)
+    z = 1.0 - 2.0 * u[..., 0]
+    r_xy = jnp.sqrt(jnp.maximum(0.0, 1.0 - z * z))
+    phi = 2.0 * jnp.pi * u[..., 1]
+    d = jnp.stack([r_xy * jnp.cos(phi), r_xy * jnp.sin(phi), z], -1)
+    return d * (u[..., 2:3] ** (1.0 / 3.0))
+
+
+def random_unit_vector(key, shape=()):
+    """Uniform on the unit sphere (``Vector3D.h:200-206``)."""
+    u = _uniforms(key, shape, 2)
+    z = 1.0 - 2.0 * u[..., 0]
+    r_xy = jnp.sqrt(jnp.maximum(0.0, 1.0 - z * z))
+    phi = 2.0 * jnp.pi * u[..., 1]
+    return jnp.stack([r_xy * jnp.cos(phi), r_xy * jnp.sin(phi), z], -1)
+
+
+def random_in_unit_hemisphere(key, normal, shape=()):
+    """Uniform in the hemisphere around ``normal`` (``Vector3D.h:208-219``)."""
+    d = random_in_unit_sphere(key, shape)
+    return jnp.where(dot(d, normal) > 0.0, d, -d)
+
+
+def random_on_unit_hemisphere(key, normal, shape=()):
+    """Uniform (by area) on the hemisphere around unit ``normal`` — pdf 1/2pi.
+    Matches the MC material sampler (``Monte Carlo Path Tracer/.../
+    WhittedMaterial.h:71-117``): z = u is uniform-by-area on a hemisphere."""
+    u = _uniforms(key, shape, 2)
+    z = u[..., 0:1]
+    r_xy = jnp.sqrt(jnp.maximum(0.0, 1.0 - z * z))
+    phi = 2.0 * jnp.pi * u[..., 1:2]
+    x, y = orthonormal_frame(normal)
+    return (r_xy * jnp.cos(phi) * x + r_xy * jnp.sin(phi) * y + z * normal)
+
+
+def random_in_unit_disk(key, shape=()):
+    """Uniform in the unit xy-disk (``Vector3D.h:221-231``, thin-lens DoF),
+    returned as (..., 2)."""
+    u = _uniforms(key, shape, 2)
+    r = jnp.sqrt(u[..., 0])
+    phi = 2.0 * jnp.pi * u[..., 1]
+    return jnp.stack([r * jnp.cos(phi), r * jnp.sin(phi)], -1)
+
+
+def random_in_triangle(key, shape=()):
+    """Barycentric weights (wa, wb, wc) uniform over a triangle using the
+    reference's parameterization x = 1 - sqrt(u), then split (1-x) by v
+    (``Monte Carlo Path Tracer/.../TriangleMesh.h:69-89``)."""
+    u = _uniforms(key, shape, 2)
+    x = 1.0 - jnp.sqrt(u[..., 0])
+    y = u[..., 1]
+    return jnp.stack([x, (1.0 - x) * y, (1.0 - x) * (1.0 - y)], -1)
