@@ -73,14 +73,15 @@ def make_thin_lens_camera(look_from, look_at, up, vfov_degrees, aspect_ratio,
 
 
 def thin_lens_rays(cam: ThinLensCamera, s: jax.Array, t: jax.Array,
-                   key: jax.Array):
+                   lens_u1: jax.Array, lens_u2: jax.Array):
     """Rays for image-plane coords s,t in [0,1] (any broadcastable shape).
 
     Mirrors ``Camera::extract_ray`` (offline prototype/.../Camera.h:56-62):
     origin jittered on the lens disk, direction to the focus-plane point.
     ``s`` runs left->right, ``t`` runs bottom->top as in RTIOW.
+    ``lens_u1``/``lens_u2``: U[0,1) draws for the aperture disk sample.
     """
-    disk = vec.random_in_unit_disk(key, s.shape) * cam.lens_radius
+    disk = vec.disk_from(lens_u1, lens_u2) * cam.lens_radius
     offset = cam.u * disk[..., 0:1] + cam.v * disk[..., 1:2]
     origin = cam.origin + offset
     target = (cam.lower_left + s[..., None] * cam.horizontal
@@ -136,9 +137,18 @@ def perspective_rays(cam: PerspectiveCamera, width: int, height: int,
     stage jitters every frame, Camera.cpp:121); None = pixel centers (the
     Denoiser stage uses centers, ``Denoiser/.../Camera.cpp:132-133``).
     """
+    return perspective_rays_slab(cam, width, height, 0, height, jitter)
+
+
+def perspective_rays_slab(cam: PerspectiveCamera, width: int, height: int,
+                          row0: int, n_rows: int,
+                          jitter: jax.Array | None = None):
+    """Ray directions for the row slab [row0, row0 + n_rows) of a
+    width x height image, (n_rows, W, 3).  Used by the row-sharded renderer;
+    ``perspective_rays`` is the full-image special case."""
     x = jnp.arange(width, dtype=jnp.float32)
-    y = jnp.arange(height, dtype=jnp.float32)
-    xx, yy = jnp.meshgrid(x, y)  # (H, W)
+    y = jnp.arange(n_rows, dtype=jnp.float32) + row0
+    xx, yy = jnp.meshgrid(x, y)  # (n_rows, W)
     if jitter is None:
         jx = jy = 0.5
     else:

@@ -32,7 +32,8 @@ from cpu_based_ray_tracer_tpu.scene import (DIELECTRIC, DIFFUSE_IN_HEMISPHERE,
 from cpu_based_ray_tracer_tpu.utils import rng
 
 
-def scatter(scene: Scene, hit: intersect.Hit, direction, key, cfg: RenderConfig):
+def scatter(scene: Scene, hit: intersect.Hit, direction, cfg: RenderConfig,
+            seed, pixel, sample, bounce):
     """One scatter event for every lane.  Returns (new_direction (R,3),
     attenuation (R,3), scattered (R,) bool)."""
     mats = scene.materials
@@ -41,16 +42,15 @@ def scatter(scene: Scene, hit: intersect.Hit, direction, key, cfg: RenderConfig)
     ior = mats.ior[hit.material]
     fuzz = mats.fuzz[hit.material]
     n = hit.facing_normal
-    shape = hit.t.shape
-    k_dir = rng.stream(key, rng.SCATTER)
+    u1, u2, u3, u4 = rng.uniforms4(seed, pixel, sample, bounce, rng.SCATTER)
 
     # --- LAMBERT (Diffuse.h:27-45): three compile/runtime-selectable models.
     if cfg.diffuse_model == DIFFUSE_IN_SPHERE:
-        d_diff = n + vec.random_in_unit_sphere(k_dir, shape)
+        d_diff = n + vec.ball_from(u1, u2, u3)
     elif cfg.diffuse_model == DIFFUSE_IN_HEMISPHERE:
-        d_diff = vec.random_in_unit_hemisphere(k_dir, n, shape)
+        d_diff = vec.hemisphere_volume_from(n, u1, u2, u3)
     else:  # DIFFUSE_ON_SPHERE — true Lambertian, the reference default
-        d_diff = n + vec.random_unit_vector(k_dir, shape)
+        d_diff = n + vec.sphere_from(u1, u2)
     # Near-zero direction fallback to the normal (Diffuse.h:37-40).
     near_zero = jnp.all(jnp.abs(d_diff) < 1e-8, axis=-1, keepdims=True)
     d_diff = jnp.where(near_zero, n, d_diff)
@@ -58,7 +58,7 @@ def scatter(scene: Scene, hit: intersect.Hit, direction, key, cfg: RenderConfig)
     # --- METAL (Metal.h:28-34).
     unit_d = vec.normalize(direction)
     d_metal = (vec.reflect(unit_d, n)
-               + fuzz[:, None] * vec.random_in_unit_sphere(k_dir, shape))
+               + fuzz[:, None] * vec.ball_from(u1, u2, u3))
     metal_ok = jnp.sum(d_metal * n, -1) > 0.0
 
     # --- DIELECTRIC (Dielectric.h:27-56).
@@ -67,8 +67,7 @@ def scatter(scene: Scene, hit: intersect.Hit, direction, key, cfg: RenderConfig)
     sin_theta = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_theta * cos_theta))
     cannot_refract = eta_ratio * sin_theta > 1.0
     refl_prob = vec.schlick(cos_theta, eta_ratio)
-    u = jax.random.uniform(rng.stream(key, rng.SCHLICK), shape)
-    do_reflect = cannot_refract | (refl_prob > u)
+    do_reflect = cannot_refract | (refl_prob > u4)
     refracted, _ = vec.refract(unit_d, n, eta_ratio[:, None])
     d_diel = jnp.where(do_reflect[:, None], vec.reflect(unit_d, n), refracted)
 
@@ -80,18 +79,20 @@ def scatter(scene: Scene, hit: intersect.Hit, direction, key, cfg: RenderConfig)
     return vec.normalize(new_dir), attenuation, scattered
 
 
-def trace(scene: Scene, origin, direction, key, cfg: RenderConfig):
-    """Path radiance for a batch of rays, (R, 3)."""
+def trace(scene: Scene, origin, direction, cfg: RenderConfig, *,
+          seed, pixel, sample):
+    """Path radiance for a batch of rays, (R, 3).  ``pixel`` is the absolute
+    pixel/lane index used as the RNG counter (see utils.rng)."""
 
     def body(state, bounce):
         o, d, throughput, radiance, alive = state
-        k = rng.bounce_key(key, bounce)
         hit = intersect.intersect_scene(scene, o, d, t_min=cfg.t_min)
         missed = alive & ~hit.hit
         radiance = radiance + jnp.where(missed[:, None],
                                         throughput * scene.sky(vec.normalize(d)),
                                         0.0)
-        new_d, att, scat_ok = scatter(scene, hit, d, k, cfg)
+        new_d, att, scat_ok = scatter(scene, hit, d, cfg,
+                                      seed, pixel, sample, bounce)
         survive = alive & hit.hit & scat_ok
         throughput = jnp.where(survive[:, None], throughput * att, throughput)
         o = jnp.where(survive[:, None], hit.point, o)
@@ -114,24 +115,23 @@ def render(scene: Scene, camera: cam_mod.ThinLensCamera, cfg: RenderConfig,
     """Mean linear radiance per pixel, (H, W, 3); row 0 = top scanline
     (the reference writes rows bottom-up flipped, main.cpp:172).
 
-    SPP loop = ``lax.scan`` over the sample index with fresh fold_in'd keys
-    (the reference loops samples per pixel at main.cpp:165-171).
+    SPP loop = ``lax.scan`` over the sample index (the reference loops samples
+    per pixel at main.cpp:165-171).
     """
     h, w = cfg.height, cfg.width
+    seed = rng.seed_from_key(key)
     x = jnp.arange(w, dtype=jnp.float32)
     y = jnp.arange(h, dtype=jnp.float32)
     xx, yy = jnp.meshgrid(x, y)           # (H, W); row 0 = top
     row_from_bottom = (h - 1.0) - yy      # reference 'row' runs bottom-up
+    pixel = jnp.arange(h * w, dtype=jnp.uint32)
 
     def one_sample(acc, s):
-        ks = rng.sample_key(key, s)
-        jit2 = jax.random.uniform(rng.stream(ks, rng.JITTER), (h, w, 2))
-        u = (xx + jit2[..., 0]) / w       # main.cpp:167
-        v = (row_from_bottom + jit2[..., 1]) / h
-        o, d = cam_mod.thin_lens_rays(camera, u.reshape(-1), v.reshape(-1),
-                                      rng.stream(ks, rng.LENS))
-        o = jnp.broadcast_to(o, d.shape) if o.ndim < d.ndim else o
-        rad = trace(scene, o.reshape(-1, 3), d.reshape(-1, 3), ks, cfg)
+        j1, j2, l1, l2 = rng.uniforms4(seed, pixel, s, 0, rng.JITTER)
+        u = (xx.reshape(-1) + j1) / w       # main.cpp:167
+        v = (row_from_bottom.reshape(-1) + j2) / h
+        o, d = cam_mod.thin_lens_rays(camera, u, v, l1, l2)
+        rad = trace(scene, o, d, cfg, seed=seed, pixel=pixel, sample=s)
         return acc + rad.reshape(h, w, 3), None
 
     acc, _ = jax.lax.scan(one_sample, jnp.zeros((h, w, 3), jnp.float32),

@@ -1,0 +1,181 @@
+"""Whitted-style ray tracer (deterministic recursive shading).
+
+The reference's recursive ``cast_Whitted_ray`` (``Whitted Style Ray Tracer/
+.../Renderer.h:184-310``) evaluates BOTH branches of every glass hit
+(reflection and refraction weighted by the exact polarized Fresnel term), so
+the computation is a binary *ray tree* of depth ``world.max_bounce_depth``
+(= 5, World.h:54; a ray that has bounced more than that, or a zero-direction
+TIR ray, contributes black, Renderer.h:191-194).
+
+TPU-first transform: level-synchronous tree evaluation.  Level k is a dense
+lane buffer of 2^k rays per pixel (lane-major layout [branch, pixel]); each
+level shades its Diffuse_Glossy hits / sky misses into the accumulated image
+and emits the next level's reflect+refract lanes with Fresnel-weighted path
+throughputs.  Dead lanes carry zero weight — no control flow, no recursion,
+fully batched.  Everything is deterministic (no RNG) and differentiable.
+
+Shading semantics mirrored exactly:
+- Reflective: child color * fresnel (Renderer.h:214-225);
+- Reflective_Refractive: R * reflect_child + (1-R) * refract_child with the
+  exact Fresnel R (Renderer.h:226-251), TIR refract lane dies (zero dir);
+- Diffuse_Glossy: per point light, shadow ray from the epsilon-offset
+  shading point; occluded lights are skipped entirely; diffuse term
+  radiance * |cos|, specular term max(0, -dot(reflect(-L, n), view))^exp;
+  final = diffuse_sum * diffuse_color(uv) * kd + specular_sum * ks
+  (Renderer.h:252-306) — specular color assumed white, no distance falloff
+  ("simplified Blinn-Phong", comment at Renderer.h:286-290);
+- miss: constant sky color (World.h:53) — at any level of the tree.
+- origins are offset +-intersection_correction along the normal by the sign
+  of dot(direction, normal) (Renderer.h:217-220, 263-266).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from cpu_based_ray_tracer_tpu import camera as cam_mod
+from cpu_based_ray_tracer_tpu.config import RenderConfig
+from cpu_based_ray_tracer_tpu.ops import intersect, vec
+from cpu_based_ray_tracer_tpu.scene import (DIFFUSE_GLOSSY, REFLECTIVE,
+                                            REFLECTIVE_REFRACTIVE,
+                                            TEX_CHESSBOARD, Scene)
+from cpu_based_ray_tracer_tpu.scenes.whitted_scene import (CHESS_A, CHESS_B,
+                                                           CHESS_FREQUENCY)
+
+
+def diffuse_color(scene: Scene, material, uv):
+    """Per-lane diffuse color with procedural textures: the chessboard
+    pattern xor of uv-parity (``Whitted Style Ray Tracer/.../TriangleMesh.h:
+    79-86``), else the material's flat color."""
+    mats = scene.materials
+    albedo = mats.albedo[material]
+    tex = mats.texture[material]
+    fx = jnp.mod(uv[..., 0] * CHESS_FREQUENCY, 1.0) > 0.5
+    fy = jnp.mod(uv[..., 1] * CHESS_FREQUENCY, 1.0) > 0.5
+    pattern = (fx ^ fy).astype(albedo.dtype)[..., None]
+    chess = (vec.lerp(jnp.asarray(CHESS_A, albedo.dtype),
+                      jnp.asarray(CHESS_B, albedo.dtype), pattern))
+    return jnp.where((tex == TEX_CHESSBOARD)[..., None], chess, albedo)
+
+
+def _offset_origin(point, direction, normal, eps):
+    """Origin offset +-eps*n by sign of dot(direction, normal)
+    (Renderer.h:217-220)."""
+    inside = vec.dot(direction, normal) < 0.0
+    return jnp.where(inside, point - normal * eps, point + normal * eps)
+
+
+def _shade_diffuse_glossy(scene: Scene, hit: intersect.Hit, direction,
+                          cfg: RenderConfig):
+    """Blinn-Phong direct lighting with shadow rays (Renderer.h:252-306).
+    Returns (R, 3) local radiance for every lane (callers mask)."""
+    mats = scene.materials
+    n = hit.geom_normal          # raw outward normal (reference uses |cos|)
+    kd = mats.kd[hit.material][:, None]
+    ks = mats.ks[hit.material][:, None]
+    spec_exp = mats.spec_exp[hit.material]
+    color = diffuse_color(scene, hit.material, hit.uv)
+
+    # Shading point offset *toward* the viewer side (Renderer.h:263-266:
+    # opposite sign convention to the branch origins).
+    inside = vec.dot(direction, n) < 0.0
+    p = jnp.where(inside, hit.point + n * cfg.eps_offset,
+                  hit.point - n * cfg.eps_offset)
+
+    diffuse_sum = jnp.zeros_like(color)
+    specular_sum = jnp.zeros_like(color)
+    lights = scene.lights
+    for li in range(lights.count):
+        lpos = lights.position[li]
+        lrad = lights.radiance[li]
+        to_l = lpos - hit.point                    # from the intersection
+        dist2 = jnp.sum(to_l * to_l, -1)
+        ldir = vec.normalize(to_l)
+        occ = intersect.intersect_scene(scene, p, ldir, t_min=cfg.t_min)
+        occluded = occ.hit & (occ.t * occ.t < dist2)
+        cos_l = jnp.abs(jnp.sum(ldir * n, -1, keepdims=True))
+        spec = jnp.maximum(
+            0.0, -jnp.sum(vec.reflect(-ldir, n) * direction, -1)) ** spec_exp
+        vis = (~occluded)[:, None]
+        diffuse_sum = diffuse_sum + jnp.where(vis, lrad * cos_l, 0.0)
+        specular_sum = specular_sum + jnp.where(vis, spec[:, None] * lrad, 0.0)
+
+    return diffuse_sum * color * kd + specular_sum * ks
+
+
+def trace(scene: Scene, origin, direction, cfg: RenderConfig):
+    """Whitted radiance for (R, 3) primary rays via level-synchronous ray-tree
+    evaluation; returns (R, 3)."""
+    r = origin.shape[0]
+    mats = scene.materials
+    radiance = jnp.zeros((r, 3), origin.dtype)
+
+    o, d = origin, direction
+    weight = jnp.ones((r, 1), origin.dtype)      # Fresnel path throughput
+    alive = jnp.ones((r,), bool)
+
+    for level in range(cfg.whitted_depth + 1):
+        hit = intersect.intersect_scene(scene, o, d, t_min=cfg.t_min)
+        kind = mats.kind[hit.material]
+        w = weight
+
+        # Miss -> sky at every tree level (Renderer.h:195 default sky color).
+        contrib = jnp.where((alive & ~hit.hit)[:, None],
+                            w * scene.sky_top, 0.0)
+        # Diffuse_Glossy -> local Blinn-Phong, path ends.
+        is_diff = alive & hit.hit & (kind == DIFFUSE_GLOSSY)
+        local = _shade_diffuse_glossy(scene, hit, d, cfg)
+        contrib = contrib + jnp.where(is_diff[:, None], w * local, 0.0)
+        # Reduce lanes back to pixels: lane-major [branch, pixel].
+        radiance = radiance + contrib.reshape(-1, r, 3).sum(0)
+
+        if level == cfg.whitted_depth:
+            break
+
+        # Spawn children for specular materials.
+        n = hit.geom_normal
+        ior = mats.ior[hit.material]
+        is_refl = alive & hit.hit & (kind == REFLECTIVE)
+        is_glass = alive & hit.hit & (kind == REFLECTIVE_REFRACTIVE)
+        fres = vec.fresnel_whitted(d, n, ior)
+
+        refl_dir = vec.normalize(vec.reflect(d, n))
+        refl_o = _offset_origin(hit.point, refl_dir, n, cfg.eps_offset)
+        refr_dir = vec.normalize(vec.snell_whitted(d, n, ior))
+        refr_o = _offset_origin(hit.point, refr_dir, n, cfg.eps_offset)
+
+        # Reflect lane: Reflective uses fresnel * child; glass uses R * child.
+        refl_w = weight * jnp.where((is_refl | is_glass)[:, None], fres[:, None], 0.0)
+        refl_alive = is_refl | is_glass
+        # Refract lane: glass only, (1 - R); dies on TIR (zero direction).
+        tir = jnp.sum(refr_dir * refr_dir, -1) < 0.5
+        refr_w = weight * jnp.where(is_glass[:, None], 1.0 - fres[:, None], 0.0)
+        refr_alive = is_glass & ~tir
+
+        o = jnp.concatenate([refl_o, refr_o], 0)
+        d = jnp.concatenate([refl_dir, refr_dir], 0)
+        weight = jnp.concatenate([refl_w, refr_w], 0)
+        alive = jnp.concatenate([refl_alive & (refl_w[:, 0] > 0.0),
+                                 refr_alive & (refr_w[:, 0] > 0.0)], 0)
+
+    return radiance
+
+
+def render(scene: Scene, camera: cam_mod.PerspectiveCamera,
+           cfg: RenderConfig) -> jax.Array:
+    """Deterministic Whitted render (pixel centers, 1 SPP — the reference
+    stage has no MSAA), (H, W, 3); chunked over row blocks to bound the
+    2^depth lane buffers."""
+    h, w = cfg.height, cfg.width
+    d_all = cam_mod.perspective_rays(camera, w, h).reshape(-1, 3)
+    o_all = jnp.broadcast_to(camera.position, d_all.shape)
+
+    chunk = cfg.ray_chunk or (h * w)
+    n_chunks = max(1, (h * w + chunk - 1) // chunk)
+    if (h * w) % n_chunks == 0 and n_chunks > 1:
+        parts = jnp.stack(jnp.split(d_all, n_chunks))
+        rad = jax.lax.map(lambda dd: trace(scene, o_all[:dd.shape[0]], dd, cfg),
+                          parts)
+        return rad.reshape(h, w, 3)
+    return trace(scene, o_all, d_all, cfg).reshape(h, w, 3)

@@ -82,6 +82,34 @@ def fresnel_exact(cos_incident, eta_in, eta_out):
     return jnp.where(tir, 1.0, r)
 
 
+def snell_whitted(d, n, ior):
+    """Whitted-convention refraction (``Whitted Style Ray Tracer/.../
+    Renderer.h:47-77``): unit incident ``d`` toward the surface, *outward*
+    unit normal ``n``; the inside/outside case is decided by sign(dot(d, n))
+    (grazing dot == 0 counts as inside); returns the unit refracted direction,
+    or the zero vector under total internal reflection."""
+    cos_i = jnp.clip(dot(d, n), -1.0, 1.0)
+    outside = cos_i < 0.0
+    eta_ratio = jnp.where(outside, 1.0 / ior[..., None], ior[..., None])
+    cos_abs = jnp.abs(cos_i)
+    normal = jnp.where(outside, n, -n)
+    k = 1.0 - eta_ratio * eta_ratio * (1.0 - cos_abs * cos_abs)
+    out = eta_ratio * d + (eta_ratio * cos_abs - jnp.sqrt(jnp.maximum(k, 0.0))) * normal
+    return jnp.where(k < 0.0, 0.0, out)
+
+
+def fresnel_whitted(d, n, ior):
+    """Whitted-convention exact (polarized) Fresnel reflectance
+    (``Whitted Style Ray Tracer/.../Renderer.h:79-109``): incident ``d``
+    toward the surface, outward normal ``n``, entity index ``ior``;
+    handles inside/outside by the sign of dot(d, n); 1.0 under TIR."""
+    cos_i = jnp.squeeze(jnp.clip(dot(d, n), -1.0, 1.0), -1)
+    outside = cos_i < 0.0
+    eta_in = jnp.where(outside, 1.0, ior)
+    eta_out = jnp.where(outside, ior, 1.0)
+    return fresnel_exact(jnp.abs(cos_i), eta_in, eta_out)
+
+
 def orthonormal_frame(n):
     """Tangent frame (X, Y) completing unit normal n, using the same
     |n.x|>|n.y| branch as the reference's local-frame construction
@@ -96,64 +124,52 @@ def orthonormal_frame(n):
 
 
 # --- Samplers -----------------------------------------------------------------
+# All samplers take explicit U[0,1) draws (from utils.rng.uniforms4) instead of
+# PRNG keys — counter-based and shard-invariant by construction.
 
-def _uniforms(key, shape, n):
-    return jax.random.uniform(key, shape + (n,), dtype=jnp.float32)
-
-
-def random_in_unit_sphere(key, shape=()):
-    """Uniform in the unit ball (``Vector3D.h:192-198`` uses rejection; we use
-    the exact radius^(1/3) polar method — same distribution, no data-dependent
-    loop)."""
-    u = _uniforms(key, shape, 3)
-    z = 1.0 - 2.0 * u[..., 0]
-    r_xy = jnp.sqrt(jnp.maximum(0.0, 1.0 - z * z))
-    phi = 2.0 * jnp.pi * u[..., 1]
-    d = jnp.stack([r_xy * jnp.cos(phi), r_xy * jnp.sin(phi), z], -1)
-    return d * (u[..., 2:3] ** (1.0 / 3.0))
-
-
-def random_unit_vector(key, shape=()):
+def sphere_from(u1, u2):
     """Uniform on the unit sphere (``Vector3D.h:200-206``)."""
-    u = _uniforms(key, shape, 2)
-    z = 1.0 - 2.0 * u[..., 0]
+    z = 1.0 - 2.0 * u1
     r_xy = jnp.sqrt(jnp.maximum(0.0, 1.0 - z * z))
-    phi = 2.0 * jnp.pi * u[..., 1]
+    phi = 2.0 * jnp.pi * u2
     return jnp.stack([r_xy * jnp.cos(phi), r_xy * jnp.sin(phi), z], -1)
 
 
-def random_in_unit_hemisphere(key, normal, shape=()):
+def ball_from(u1, u2, u3):
+    """Uniform in the unit ball (``Vector3D.h:192-198`` uses rejection; the
+    exact radius^(1/3) polar method has the same distribution with no
+    data-dependent loop)."""
+    return sphere_from(u1, u2) * (u3[..., None] ** (1.0 / 3.0))
+
+
+def hemisphere_volume_from(normal, u1, u2, u3):
     """Uniform in the hemisphere around ``normal`` (``Vector3D.h:208-219``)."""
-    d = random_in_unit_sphere(key, shape)
+    d = ball_from(u1, u2, u3)
     return jnp.where(dot(d, normal) > 0.0, d, -d)
 
 
-def random_on_unit_hemisphere(key, normal, shape=()):
+def hemisphere_surface_from(normal, u1, u2):
     """Uniform (by area) on the hemisphere around unit ``normal`` — pdf 1/2pi.
     Matches the MC material sampler (``Monte Carlo Path Tracer/.../
     WhittedMaterial.h:71-117``): z = u is uniform-by-area on a hemisphere."""
-    u = _uniforms(key, shape, 2)
-    z = u[..., 0:1]
+    z = u1[..., None]
     r_xy = jnp.sqrt(jnp.maximum(0.0, 1.0 - z * z))
-    phi = 2.0 * jnp.pi * u[..., 1:2]
+    phi = 2.0 * jnp.pi * u2[..., None]
     x, y = orthonormal_frame(normal)
     return (r_xy * jnp.cos(phi) * x + r_xy * jnp.sin(phi) * y + z * normal)
 
 
-def random_in_unit_disk(key, shape=()):
+def disk_from(u1, u2):
     """Uniform in the unit xy-disk (``Vector3D.h:221-231``, thin-lens DoF),
     returned as (..., 2)."""
-    u = _uniforms(key, shape, 2)
-    r = jnp.sqrt(u[..., 0])
-    phi = 2.0 * jnp.pi * u[..., 1]
+    r = jnp.sqrt(u1)
+    phi = 2.0 * jnp.pi * u2
     return jnp.stack([r * jnp.cos(phi), r * jnp.sin(phi)], -1)
 
 
-def random_in_triangle(key, shape=()):
+def triangle_from(u1, u2):
     """Barycentric weights (wa, wb, wc) uniform over a triangle using the
     reference's parameterization x = 1 - sqrt(u), then split (1-x) by v
     (``Monte Carlo Path Tracer/.../TriangleMesh.h:69-89``)."""
-    u = _uniforms(key, shape, 2)
-    x = 1.0 - jnp.sqrt(u[..., 0])
-    y = u[..., 1]
-    return jnp.stack([x, (1.0 - x) * y, (1.0 - x) * (1.0 - y)], -1)
+    x = 1.0 - jnp.sqrt(u1)
+    return jnp.stack([x, (1.0 - x) * u2, (1.0 - x) * (1.0 - u2)], -1)

@@ -12,6 +12,13 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8").strip()
 os.environ["JAX_PLATFORMS"] = "cpu"
 
+# The environment's sitecustomize imports jax at interpreter startup with
+# JAX_PLATFORMS=axon (the TPU tunnel), so the env var above is too late —
+# update the live config before any backend is initialized.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

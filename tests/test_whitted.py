@@ -1,0 +1,98 @@
+"""Whitted stage: optics helpers + ray-tree renderer."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cpu_based_ray_tracer_tpu.config import RenderConfig
+from cpu_based_ray_tracer_tpu.models import whitted
+from cpu_based_ray_tracer_tpu.ops import vec
+from cpu_based_ray_tracer_tpu.scenes import whitted_scene
+
+
+def test_fresnel_normal_incidence():
+    # R0 = ((n1-n2)/(n1+n2))^2 = 0.04 for glass from air.
+    d = jnp.array([[0.0, 0.0, -1.0]])
+    n = jnp.array([[0.0, 0.0, 1.0]])
+    r = np.asarray(vec.fresnel_whitted(d, n, jnp.array([1.5])))
+    np.testing.assert_allclose(r, 0.04, rtol=1e-5)
+    # Same from inside the glass (swapped etas, same R0).
+    r2 = np.asarray(vec.fresnel_whitted(-d, n, jnp.array([1.5])))
+    np.testing.assert_allclose(r2, 0.04, rtol=1e-5)
+
+
+def test_fresnel_tir():
+    # From inside glass at grazing angle beyond the critical angle -> 1.
+    crit = np.arcsin(1.0 / 1.5)
+    ang = crit + 0.1
+    d = jnp.array([[np.sin(ang), 0.0, np.cos(ang)]], jnp.float32)  # exiting
+    n = jnp.array([[0.0, 0.0, 1.0]])
+    r = np.asarray(vec.fresnel_whitted(d, n, jnp.array([1.5])))
+    np.testing.assert_allclose(r, 1.0)
+
+
+def test_snell_angles():
+    # 45 degrees into glass: sin(t) = sin(45)/1.5.
+    ang_i = np.pi / 4
+    d = jnp.array([[np.sin(ang_i), 0.0, -np.cos(ang_i)]], jnp.float32)
+    n = jnp.array([[0.0, 0.0, 1.0]])
+    t = np.asarray(vec.snell_whitted(d, n, jnp.array([1.5])))[0]
+    t = t / np.linalg.norm(t)
+    sin_t = abs(t[0])
+    np.testing.assert_allclose(sin_t, np.sin(ang_i) / 1.5, rtol=1e-5)
+    assert t[2] < 0  # continues into the surface
+
+
+def test_snell_tir_zero():
+    crit = np.arcsin(1.0 / 1.5)
+    ang = crit + 0.05
+    d = jnp.array([[np.sin(ang), 0.0, np.cos(ang)]], jnp.float32)
+    n = jnp.array([[0.0, 0.0, 1.0]])
+    t = np.asarray(vec.snell_whitted(d, n, jnp.array([1.5])))
+    np.testing.assert_array_equal(t, 0.0)
+
+
+def test_chessboard_texture():
+    scene = whitted_scene.whitted_scene()
+    mat = jnp.array([2, 2], jnp.int32)  # floor material with chessboard
+    uv = jnp.array([[0.05, 0.05], [0.15, 0.05]])  # adjacent cells differ
+    c = np.asarray(whitted.diffuse_color(scene, mat, uv))
+    assert not np.allclose(c[0], c[1])
+    np.testing.assert_allclose(c[0], whitted_scene.CHESS_A, atol=1e-6)
+    np.testing.assert_allclose(c[1], whitted_scene.CHESS_B, atol=1e-6)
+
+
+def test_whitted_render_look():
+    scene, cam = whitted_scene.whitted_scene(), whitted_scene.whitted_camera()
+    cfg = RenderConfig(width=96, height=72, whitted_depth=5)
+    img = np.asarray(jax.jit(lambda: whitted.render(scene, cam, cfg))())
+    assert img.shape == (72, 96, 3)
+    assert np.isfinite(img).all() and (img >= 0).all()
+    # Sky corners (World.h:53 sky 0.2/0.7/0.8).
+    np.testing.assert_allclose(img[0, 0], (0.2, 0.7, 0.8), atol=1e-5)
+    # Chessboard floor occupies rows ~75-90% of the height at the default
+    # pose (below that the frustum overshoots the board's front edge into
+    # sky): red channel dominates the red/yellow cells there.
+    floor_band = img[int(72 * 0.78):int(72 * 0.86)]
+    assert (floor_band[..., 0] > floor_band[..., 2]).mean() > 0.5
+    # Deterministic (no RNG).
+    img2 = np.asarray(jax.jit(lambda: whitted.render(scene, cam, cfg))())
+    np.testing.assert_array_equal(img, img2)
+
+
+def test_whitted_depth_zero_direct_only():
+    """depth 0: specular surfaces return black (no recursion budget), diffuse
+    still shades — tree truncation semantics (Renderer.h:191-194)."""
+    scene, cam = whitted_scene.whitted_scene(), whitted_scene.whitted_camera()
+    img0 = np.asarray(whitted.render(scene, cam,
+                                     RenderConfig(width=48, height=36,
+                                                  whitted_depth=0)))
+    img5 = np.asarray(whitted.render(scene, cam,
+                                     RenderConfig(width=48, height=36,
+                                                  whitted_depth=5)))
+    # The glass sphere region (center of image) is black at depth 0, not at 5.
+    cy, cx = 20, 28
+    assert img0[cy, cx].max() == 0.0
+    assert img5[cy, cx].max() > 0.0
+    # Sky pixels identical at any depth.
+    np.testing.assert_array_equal(img0[0, 0], img5[0, 0])
