@@ -3,15 +3,21 @@
 The reference intersects one ray against one primitive at a time behind
 virtual calls (``Sphere::is_hit_by`` at ``offline prototype/.../Sphere.cpp:
 13-43``, Möller-Trumbore at ``BVH Ray Tracer/.../TriangleMesh.h:19-45``,
-nearest-hit scan at ``CompositeHittable.cpp:11-28``).  TPU-first design: dense
-(R rays x N primitives) vectorized tests reduced with a masked argmin — pure
-VPU work with static shapes.  Brute force is *exact* and is the fastest choice
-for the reference's own scenes (Cornell box = 32 triangles); large meshes go
-through ``ops.bvh`` instead.
+nearest-hit scan at ``CompositeHittable.cpp:11-28``).  TPU-first design:
 
-All functions are differentiable; integrators that need "detached traversal,
-attached shading" stop gradients on the returned indices and re-evaluate the
-hit point from ids (see ``ops.hitinfo.recompute_hit``).
+1. a dense (R rays x N primitives) *t-matrix* reduced with min/argmin — the
+   producer is a pure elementwise chain that XLA fuses into the reduction, so
+   no (R, N) tensor ever hits HBM;
+2. hit *attributes* (point, normal, barycentrics, uv) are then **recomputed
+   per ray** from the winning primitive index — O(R) gathers + math.
+
+Step 2 is also the differentiability story ("detached traversal, attached
+shading"): the integer indices are non-differentiable, but the recomputed
+t/point/normal are differentiable functions of the gathered vertex data and
+the ray, so geometry/camera gradients flow.
+
+Brute force is *exact* and is the fastest choice for the reference's own
+scenes (Cornell box = 32 triangles); large meshes go through ``ops.bvh``.
 """
 
 from __future__ import annotations
@@ -26,6 +32,7 @@ INF = jnp.inf
 # Sentinel "no hit": reference IntersectionRecord defaults t to DBL_MAX
 # (Monte Carlo Path Tracer/.../IntersectionRecord.h:24).
 NO_HIT_T = jnp.float32(jnp.finfo(jnp.float32).max)
+_DET_EPS = 1e-12
 
 
 @_pytree
@@ -59,11 +66,12 @@ class Hit:
                          -self.geom_normal)
 
 
-def intersect_spheres(origin, direction, centers, radii, t_min, t_max):
-    """Ray-sphere batch test.
+def _dot3(ax, ay, az, bx, by, bz):
+    return ax * bx + ay * by + az * bz
 
-    origin/direction: (R, 3); centers: (S, 3); radii: (S,).
-    Returns per-pair t (R, S) with NO_HIT_T for miss.
+
+def intersect_spheres(origin, direction, centers, radii, t_min, t_max):
+    """Ray-sphere t-matrix (R, S) with NO_HIT_T for miss.
 
     Half-b quadratic with near-then-far root selection exactly as the
     reference (``offline prototype/.../Sphere.cpp:13-43``): if the near root
@@ -80,29 +88,75 @@ def intersect_spheres(origin, direction, centers, radii, t_min, t_max):
     t_far = (-half_b + sq) / a
     near_ok = ok & (t_near > t_min) & (t_near < t_max)
     far_ok = ok & (t_far > t_min) & (t_far < t_max)
-    t = jnp.where(near_ok, t_near, jnp.where(far_ok, t_far, NO_HIT_T))
-    return t
+    return jnp.where(near_ok, t_near, jnp.where(far_ok, t_far, NO_HIT_T))
+
+
+def triangle_t_matrix(origin, direction, v0, e1, e2, t_min, t_max):
+    """Möller-Trumbore t-matrix (R, N), NO_HIT_T on miss
+    (``BVH Ray Tracer/.../TriangleMesh.h:19-45``).  Component-wise so the
+    whole producer fuses into the min/argmin reduction (no (R, N, 3)
+    intermediates).  Accept iff t, b1, b2, (1 - b1 - b2) all >= 0 (and
+    t > t_min), as the reference; degenerate triangles never hit."""
+    ox, oy, oz = origin[:, 0:1], origin[:, 1:2], origin[:, 2:3]    # (R, 1)
+    dx, dy, dz = direction[:, 0:1], direction[:, 1:2], direction[:, 2:3]
+    e1x, e1y, e1z = e1[None, :, 0], e1[None, :, 1], e1[None, :, 2]  # (1, N)
+    e2x, e2y, e2z = e2[None, :, 0], e2[None, :, 1], e2[None, :, 2]
+    v0x, v0y, v0z = v0[None, :, 0], v0[None, :, 1], v0[None, :, 2]
+
+    # s1 = d x e2
+    s1x = dy * e2z - dz * e2y
+    s1y = dz * e2x - dx * e2z
+    s1z = dx * e2y - dy * e2x
+    det = _dot3(s1x, s1y, s1z, e1x, e1y, e1z)                # (R, N)
+    inv_det = jnp.where(jnp.abs(det) > _DET_EPS, 1.0 / det, 0.0)
+    # s = o - v0
+    sx, sy, sz = ox - v0x, oy - v0y, oz - v0z
+    # s2 = s x e1
+    s2x = sy * e1z - sz * e1y
+    s2y = sz * e1x - sx * e1z
+    s2z = sx * e1y - sy * e1x
+    t = _dot3(s2x, s2y, s2z, e2x, e2y, e2z) * inv_det
+    b1 = _dot3(s1x, s1y, s1z, sx, sy, sz) * inv_det
+    b2 = _dot3(s2x, s2y, s2z, dx, dy, dz) * inv_det
+    ok = ((jnp.abs(det) > _DET_EPS) & (t > t_min) & (t < t_max)
+          & (b1 >= 0.0) & (b2 >= 0.0) & (1.0 - b1 - b2 >= 0.0))
+    return jnp.where(ok, t, NO_HIT_T)
+
+
+def moller_trumbore_single(origin, direction, v0, e1, e2):
+    """Differentiable MT for one (ray, triangle) pair per lane: all inputs
+    (R, 3).  Returns (t, b1, b2) each (R,) — used to *recompute* attributes
+    at the winning index (attached shading)."""
+    s1 = jnp.cross(direction, e2)
+    det = jnp.sum(s1 * e1, -1)
+    inv_det = jnp.where(jnp.abs(det) > _DET_EPS, 1.0 / det, 0.0)
+    s = origin - v0
+    s2 = jnp.cross(s, e1)
+    t = jnp.sum(s2 * e2, -1) * inv_det
+    b1 = jnp.sum(s1 * s, -1) * inv_det
+    b2 = jnp.sum(s2 * direction, -1) * inv_det
+    return t, b1, b2
 
 
 def intersect_triangles(origin, direction, v0, e1, e2, t_min, t_max):
-    """Möller-Trumbore batch test (``BVH Ray Tracer/.../TriangleMesh.h:19-45``).
+    """Compatibility wrapper returning (t, b1, b2) matrices (each (R, N));
+    prefer ``triangle_t_matrix`` + recompute in hot paths."""
+    t = triangle_t_matrix(origin, direction, v0, e1, e2, t_min, t_max)
+    tm, b1m, b2m = jax.vmap(
+        lambda o, d: moller_trumbore_single(
+            jnp.broadcast_to(o, v0.shape), jnp.broadcast_to(d, v0.shape),
+            v0, e1, e2),
+    )(origin, direction)
+    del tm
+    return t, b1m, b2m
 
-    origin/direction: (R, 3); v0/e1/e2: (N, 3).
-    Returns (t, b1, b2) each (R, N); t == NO_HIT_T on miss.
-    Accept iff t, b1, b2, (1 - b1 - b2) all >= 0 (and t > t_min), as the
-    reference; degenerate triangles (|det| ~ 0) never hit.
-    """
-    s1 = jnp.cross(direction[:, None, :], e2[None, :, :])    # (R, N, 3)
-    det = jnp.sum(s1 * e1[None, :, :], -1)                   # (R, N)
-    inv_det = jnp.where(jnp.abs(det) > 1e-12, 1.0 / det, 0.0)
-    s = origin[:, None, :] - v0[None, :, :]
-    s2 = jnp.cross(s, e1[None, :, :])
-    t = jnp.sum(s2 * e2[None, :, :], -1) * inv_det
-    b1 = jnp.sum(s1 * s, -1) * inv_det
-    b2 = jnp.sum(s2 * direction[:, None, :], -1) * inv_det
-    ok = ((jnp.abs(det) > 1e-12) & (t > t_min) & (t < t_max)
-          & (b1 >= 0.0) & (b2 >= 0.0) & (1.0 - b1 - b2 >= 0.0))
-    return jnp.where(ok, t, NO_HIT_T), b1, b2
+
+def nearest_triangle(scene: Scene, origin, direction, t_min, t_max):
+    """(t, idx) of the nearest triangle per ray — the min/argmin reduction."""
+    tr = scene.triangles
+    tmat = triangle_t_matrix(origin, direction, tr.v0, tr.e1, tr.e2,
+                             t_min, t_max)
+    return jnp.min(tmat, -1), jnp.argmin(tmat, -1).astype(jnp.int32)
 
 
 def intersect_scene(scene: Scene, origin, direction,
@@ -114,15 +168,11 @@ def intersect_scene(scene: Scene, origin, direction,
     few thousand primitives (all reference scenes qualify).
     """
     sp, tr = scene.spheres, scene.triangles
-    t_s = intersect_spheres(origin, direction, sp.center, sp.radius,
-                            t_min, t_max)                       # (R, S)
-    t_t, b1, b2 = intersect_triangles(origin, direction, tr.v0, tr.e1, tr.e2,
-                                      t_min, t_max)             # (R, N)
-
-    best_s = jnp.argmin(t_s, axis=-1)                           # (R,)
-    ts = jnp.take_along_axis(t_s, best_s[:, None], -1)[:, 0]
-    best_t = jnp.argmin(t_t, axis=-1)
-    tt = jnp.take_along_axis(t_t, best_t[:, None], -1)[:, 0]
+    t_s_mat = intersect_spheres(origin, direction, sp.center, sp.radius,
+                                t_min, t_max)                   # (R, S)
+    ts = jnp.min(t_s_mat, -1)
+    best_s = jnp.argmin(t_s_mat, -1)
+    tt, best_t = nearest_triangle(scene, origin, direction, t_min, t_max)
 
     is_tri = tt < ts
     t = jnp.minimum(ts, tt)
@@ -131,6 +181,7 @@ def intersect_scene(scene: Scene, origin, direction,
 
     point = origin + t[:, None] * direction
 
+    # --- Recompute attributes from the winning primitive (O(R)). ---
     # Sphere geometric normal: (p - c) / radius — sign of radius flips it
     # (Sphere.cpp:36; Dielectric.h bubble trick).
     c_hit = sp.center[best_s]
@@ -138,18 +189,19 @@ def intersect_scene(scene: Scene, origin, direction,
     n_sphere = (point - c_hit) / jnp.where(r_hit == 0.0, 1.0, r_hit)[:, None]
     n_tri = tr.normal[best_t]
     geom_n = jnp.where(is_tri[:, None], n_tri, n_sphere)
-    # Normalize defensively (sphere normal is unit up to fp error).
     geom_n = vec.normalize(geom_n)
 
     front = jnp.sum(geom_n * direction, -1) < 0.0
 
-    b1_hit = jnp.take_along_axis(b1, best_t[:, None], -1)[:, 0]
-    b2_hit = jnp.take_along_axis(b2, best_t[:, None], -1)[:, 0]
+    # Triangle barycentrics recomputed once at the winning index
+    # (differentiable; the (R, N) matrices above stay fused into the reduce).
+    _, b1, b2 = moller_trumbore_single(origin, direction, tr.v0[best_t],
+                                       tr.e1[best_t], tr.e2[best_t])
     # Barycentric uv interpolation as in GetHitInfo
     # (Whitted Style Ray Tracer/.../TriangleMesh.h:120-149).
-    uv_hit = (tr.uv0[best_t] * (1.0 - b1_hit - b2_hit)[:, None]
-              + tr.uv1[best_t] * b1_hit[:, None]
-              + tr.uv2[best_t] * b2_hit[:, None])
+    uv_hit = (tr.uv0[best_t] * (1.0 - b1 - b2)[:, None]
+              + tr.uv1[best_t] * b1[:, None]
+              + tr.uv2[best_t] * b2[:, None])
     uv_hit = jnp.where(is_tri[:, None], uv_hit, 0.0)
 
     mat = jnp.where(is_tri, tr.material[best_t], sp.material[best_s])
