@@ -67,7 +67,7 @@ def _offset_origin(point, direction, normal, eps):
 
 
 def _shade_diffuse_glossy(scene: Scene, hit: intersect.Hit, direction,
-                          cfg: RenderConfig):
+                          cfg: RenderConfig, intersect_fn):
     """Blinn-Phong direct lighting with shadow rays (Renderer.h:252-306).
     Returns (R, 3) local radiance for every lane (callers mask)."""
     mats = scene.materials
@@ -92,7 +92,7 @@ def _shade_diffuse_glossy(scene: Scene, hit: intersect.Hit, direction,
         to_l = lpos - hit.point                    # from the intersection
         dist2 = jnp.sum(to_l * to_l, -1)
         ldir = vec.normalize(to_l)
-        occ = intersect.intersect_scene(scene, p, ldir, t_min=cfg.t_min)
+        occ = intersect_fn(scene, p, ldir, cfg.t_min)
         occluded = occ.hit & (occ.t * occ.t < dist2)
         cos_l = jnp.abs(jnp.sum(ldir * n, -1, keepdims=True))
         spec = jnp.maximum(
@@ -104,9 +104,15 @@ def _shade_diffuse_glossy(scene: Scene, hit: intersect.Hit, direction,
     return diffuse_sum * color * kd + specular_sum * ks
 
 
-def trace(scene: Scene, origin, direction, cfg: RenderConfig):
+def trace(scene: Scene, origin, direction, cfg: RenderConfig,
+          intersect_fn=None):
     """Whitted radiance for (R, 3) primary rays via level-synchronous ray-tree
-    evaluation; returns (R, 3)."""
+    evaluation; returns (R, 3).  ``intersect_fn(scene, o, d, t_min) -> Hit``
+    selects the intersector (default: exact brute force; the BVH stage passes
+    the traversal-backed one from ``models.mesh``)."""
+    if intersect_fn is None:
+        intersect_fn = lambda s, o, d, t_min: intersect.intersect_scene(
+            s, o, d, t_min=t_min)  # noqa: E731
     r = origin.shape[0]
     mats = scene.materials
     radiance = jnp.zeros((r, 3), origin.dtype)
@@ -116,7 +122,7 @@ def trace(scene: Scene, origin, direction, cfg: RenderConfig):
     alive = jnp.ones((r,), bool)
 
     for level in range(cfg.whitted_depth + 1):
-        hit = intersect.intersect_scene(scene, o, d, t_min=cfg.t_min)
+        hit = intersect_fn(scene, o, d, cfg.t_min)
         kind = mats.kind[hit.material]
         w = weight
 
@@ -125,7 +131,7 @@ def trace(scene: Scene, origin, direction, cfg: RenderConfig):
                             w * scene.sky_top, 0.0)
         # Diffuse_Glossy -> local Blinn-Phong, path ends.
         is_diff = alive & hit.hit & (kind == DIFFUSE_GLOSSY)
-        local = _shade_diffuse_glossy(scene, hit, d, cfg)
+        local = _shade_diffuse_glossy(scene, hit, d, cfg, intersect_fn)
         contrib = contrib + jnp.where(is_diff[:, None], w * local, 0.0)
         # Reduce lanes back to pixels: lane-major [branch, pixel].
         radiance = radiance + contrib.reshape(-1, r, 3).sum(0)
@@ -163,7 +169,7 @@ def trace(scene: Scene, origin, direction, cfg: RenderConfig):
 
 
 def render(scene: Scene, camera: cam_mod.PerspectiveCamera,
-           cfg: RenderConfig) -> jax.Array:
+           cfg: RenderConfig, intersect_fn=None) -> jax.Array:
     """Deterministic Whitted render (pixel centers, 1 SPP — the reference
     stage has no MSAA), (H, W, 3); chunked over row blocks to bound the
     2^depth lane buffers."""
@@ -175,7 +181,8 @@ def render(scene: Scene, camera: cam_mod.PerspectiveCamera,
     n_chunks = max(1, (h * w + chunk - 1) // chunk)
     if (h * w) % n_chunks == 0 and n_chunks > 1:
         parts = jnp.stack(jnp.split(d_all, n_chunks))
-        rad = jax.lax.map(lambda dd: trace(scene, o_all[:dd.shape[0]], dd, cfg),
-                          parts)
+        rad = jax.lax.map(
+            lambda dd: trace(scene, o_all[:dd.shape[0]], dd, cfg,
+                             intersect_fn), parts)
         return rad.reshape(h, w, 3)
-    return trace(scene, o_all, d_all, cfg).reshape(h, w, 3)
+    return trace(scene, o_all, d_all, cfg, intersect_fn).reshape(h, w, 3)

@@ -165,14 +165,25 @@ def intersect_scene(scene: Scene, origin, direction,
     ``CompositeHittable``/BVH nearest-hit semantics, t_max shrink included).
 
     origin/direction: (R, 3).  Exact brute force; intended for scenes up to a
-    few thousand primitives (all reference scenes qualify).
+    few thousand primitives (all reference scenes qualify).  BVH-backed
+    scenes go through ``models.mesh`` / ``ops.bvh`` which reuse
+    ``assemble_hit``.
     """
+    tt, best_t = nearest_triangle(scene, origin, direction, t_min, t_max)
+    return assemble_hit(scene, origin, direction, tt, best_t, t_min, t_max)
+
+
+def assemble_hit(scene: Scene, origin, direction, tt, best_t,
+                 t_min: float, t_max: float = INF) -> Hit:
+    """Build the full Hit record given the nearest-*triangle* result
+    (tt (R,), best_t (R,) — any intersector: brute force or BVH), adding the
+    sphere brute-force pass and recomputing attributes at the winner."""
     sp, tr = scene.spheres, scene.triangles
     t_s_mat = intersect_spheres(origin, direction, sp.center, sp.radius,
                                 t_min, t_max)                   # (R, S)
     ts = jnp.min(t_s_mat, -1)
     best_s = jnp.argmin(t_s_mat, -1)
-    tt, best_t = nearest_triangle(scene, origin, direction, t_min, t_max)
+    best_t = jnp.clip(best_t, 0, tr.count - 1)
 
     is_tri = tt < ts
     t = jnp.minimum(ts, tt)
