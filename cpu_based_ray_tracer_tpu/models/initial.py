@@ -22,7 +22,7 @@ import jax.numpy as jnp
 
 from cpu_based_ray_tracer_tpu import camera as cam_mod
 from cpu_based_ray_tracer_tpu.config import RenderConfig
-from cpu_based_ray_tracer_tpu.ops import vec
+from cpu_based_ray_tracer_tpu.ops import gather, vec
 from cpu_based_ray_tracer_tpu.scene import Scene
 from cpu_based_ray_tracer_tpu.utils import rng
 
@@ -66,10 +66,12 @@ def trace(scene: Scene, origin, direction, cfg: RenderConfig, *,
         color = color + jnp.where((alive & ~hit)[:, None],
                                   energy[:, None] * SKY, 0.0)
         # Hit: white directional light, diffuse dot term.
-        albedo = mats.albedo[scene.spheres.material[idx]]
-        rough = mats.fuzz[scene.spheres.material[idx]]
+        sphere_mat = scene.spheres.material
+        albedo, rough, center = gather.take_packed(
+            idx, mats.albedo[sphere_mat], mats.fuzz[sphere_mat],
+            scene.spheres.center)
         point = o + t[:, None] * d
-        n = vec.normalize(point - scene.spheres.center[idx])
+        n = vec.normalize(point - center)
         intensity = jnp.maximum(jnp.sum(n * (-light), -1), 0.0)
         color = color + jnp.where((alive & hit)[:, None],
                                   (energy * intensity)[:, None] * albedo, 0.0)

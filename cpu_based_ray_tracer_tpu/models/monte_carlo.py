@@ -37,7 +37,7 @@ import jax.numpy as jnp
 
 from cpu_based_ray_tracer_tpu import camera as cam_mod
 from cpu_based_ray_tracer_tpu.config import RenderConfig
-from cpu_based_ray_tracer_tpu.ops import intersect, sampling, vec
+from cpu_based_ray_tracer_tpu.ops import gather, intersect, sampling, vec
 from cpu_based_ray_tracer_tpu.scene import Scene
 from cpu_based_ray_tracer_tpu.utils import rng
 
@@ -65,7 +65,11 @@ def trace(scene: Scene, origin, direction, cfg: RenderConfig, *,
         hit = intersect.intersect_scene(scene, o, d, t_min=cfg.t_min)
         nrays = nrays + jnp.sum(alive)
 
-        hit_emissive = hit.hit & mats.emissive[hit.material]
+        # One contraction for all material lookups (ops.gather).
+        emit, albedo, emissive_f = gather.take_packed(
+            hit.material, mats.emission, mats.albedo,
+            mats.emissive.astype(jnp.float32))
+        hit_emissive = hit.hit & (emissive_f > 0.5)
         is_primary = bounce == 0
         # Primary miss -> night sky; deeper miss -> nothing (Renderer.cpp:146,
         # 201-207: "no light from the skybox" on indirect rays).
@@ -75,7 +79,6 @@ def trace(scene: Scene, origin, direction, cfg: RenderConfig, *,
                                         throughput * sky, 0.0)
         # Emissive hit: contributes only on the primary ray (the indirect
         # recursion is only entered for non-emissive hits, Renderer.cpp:201).
-        emit = mats.emission[hit.material]
         radiance = radiance + jnp.where(
             (alive & hit_emissive)[:, None],
             jnp.where(is_primary, throughput * emit, 0.0), 0.0)
@@ -86,7 +89,6 @@ def trace(scene: Scene, origin, direction, cfg: RenderConfig, *,
         # (Renderer.cpp:163-168).
         n = hit.facing_normal
         p = hit.point + n * cfg.eps_offset
-        albedo = mats.albedo[hit.material]
 
         # --- Direct: one area-light sample (NEE), Renderer.cpp:170-189.
         ul = rng.uniforms4(seed, pixel, sample, bounce, rng.LIGHT)

@@ -25,7 +25,7 @@ import jax.numpy as jnp
 
 from cpu_based_ray_tracer_tpu import camera as cam_mod
 from cpu_based_ray_tracer_tpu.config import RenderConfig
-from cpu_based_ray_tracer_tpu.ops import intersect, tonemap, vec
+from cpu_based_ray_tracer_tpu.ops import gather, intersect, tonemap, vec
 from cpu_based_ray_tracer_tpu.scene import (DIELECTRIC, DIFFUSE_IN_HEMISPHERE,
                                             DIFFUSE_IN_SPHERE, LAMBERT, METAL,
                                             Scene)
@@ -37,10 +37,11 @@ def scatter(scene: Scene, hit: intersect.Hit, direction, cfg: RenderConfig,
     """One scatter event for every lane.  Returns (new_direction (R,3),
     attenuation (R,3), scattered (R,) bool)."""
     mats = scene.materials
-    kind = mats.kind[hit.material]
-    albedo = mats.albedo[hit.material]
-    ior = mats.ior[hit.material]
-    fuzz = mats.fuzz[hit.material]
+    # One contraction for all material lookups (ops.gather).
+    kind_f, albedo, ior, fuzz = gather.take_packed(
+        hit.material, mats.kind.astype(jnp.float32), mats.albedo, mats.ior,
+        mats.fuzz)
+    kind = kind_f.astype(jnp.int32)
     n = hit.facing_normal
     u1, u2, u3, u4 = rng.uniforms4(seed, pixel, sample, bounce, rng.SCATTER)
 

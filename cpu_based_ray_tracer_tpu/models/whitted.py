@@ -36,7 +36,7 @@ import jax.numpy as jnp
 
 from cpu_based_ray_tracer_tpu import camera as cam_mod
 from cpu_based_ray_tracer_tpu.config import RenderConfig
-from cpu_based_ray_tracer_tpu.ops import intersect, vec
+from cpu_based_ray_tracer_tpu.ops import gather, intersect, vec
 from cpu_based_ray_tracer_tpu.scene import (DIFFUSE_GLOSSY, REFLECTIVE,
                                             REFLECTIVE_REFRACTIVE,
                                             TEX_CHESSBOARD, Scene)
@@ -49,8 +49,9 @@ def diffuse_color(scene: Scene, material, uv):
     pattern xor of uv-parity (``Whitted Style Ray Tracer/.../TriangleMesh.h:
     79-86``), else the material's flat color."""
     mats = scene.materials
-    albedo = mats.albedo[material]
-    tex = mats.texture[material]
+    albedo, tex_f = gather.take_packed(material, mats.albedo,
+                                       mats.texture.astype(jnp.float32))
+    tex = tex_f.astype(jnp.int32)
     fx = jnp.mod(uv[..., 0] * CHESS_FREQUENCY, 1.0) > 0.5
     fy = jnp.mod(uv[..., 1] * CHESS_FREQUENCY, 1.0) > 0.5
     pattern = (fx ^ fy).astype(albedo.dtype)[..., None]
@@ -72,9 +73,9 @@ def _shade_diffuse_glossy(scene: Scene, hit: intersect.Hit, direction,
     Returns (R, 3) local radiance for every lane (callers mask)."""
     mats = scene.materials
     n = hit.geom_normal          # raw outward normal (reference uses |cos|)
-    kd = mats.kd[hit.material][:, None]
-    ks = mats.ks[hit.material][:, None]
-    spec_exp = mats.spec_exp[hit.material]
+    kd_v, ks_v, spec_exp = gather.take_packed(hit.material, mats.kd, mats.ks,
+                                              mats.spec_exp)
+    kd, ks = kd_v[:, None], ks_v[:, None]
     color = diffuse_color(scene, hit.material, hit.uv)
 
     # Shading point offset *toward* the viewer side (Renderer.h:263-266:
@@ -123,7 +124,10 @@ def trace(scene: Scene, origin, direction, cfg: RenderConfig,
 
     for level in range(cfg.whitted_depth + 1):
         hit = intersect_fn(scene, o, d, cfg.t_min)
-        kind = mats.kind[hit.material]
+        kind_f, ior = gather.take_packed(hit.material,
+                                         mats.kind.astype(jnp.float32),
+                                         mats.ior)
+        kind = kind_f.astype(jnp.int32)
         w = weight
 
         # Miss -> sky at every tree level (Renderer.h:195 default sky color).
@@ -141,7 +145,6 @@ def trace(scene: Scene, origin, direction, cfg: RenderConfig,
 
         # Spawn children for specular materials.
         n = hit.geom_normal
-        ior = mats.ior[hit.material]
         is_refl = alive & hit.hit & (kind == REFLECTIVE)
         is_glass = alive & hit.hit & (kind == REFLECTIVE_REFRACTIVE)
         fres = vec.fresnel_whitted(d, n, ior)

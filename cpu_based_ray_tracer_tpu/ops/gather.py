@@ -1,0 +1,53 @@
+"""Gather-free lookups for tiny tables.
+
+TPU profile fact (bench ablation, see git history): a single (R,) dynamic
+gather from a small table costs ~1 ms at R ~ 800k — MORE than a fused
+32-triangle intersection pass.  Scene lookups (material rows, winning
+triangle attributes, light-sample rows) are gathers from tables with 4..few
+thousand rows, so the hot integrators route them through a **one-hot matmul**
+instead: ``onehot(idx) @ table`` runs on the MXU and fuses with its
+producers.  Crossover is scene-size dependent; ``take`` picks automatically.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+# Above this many rows the one-hot contraction's R*K FLOPs lose to a real
+# gather (and the one-hot operand stops fitting nicely); measured on v5e.
+ONE_HOT_MAX_ROWS = 2048
+
+
+def take_rows(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """table (K, C) float, idx (R,) int -> (R, C), via one-hot matmul when K
+    is small, plain gather otherwise."""
+    k = table.shape[0]
+    if k > ONE_HOT_MAX_ROWS:
+        return table[idx]
+    oh = (idx[:, None] == jnp.arange(k, dtype=idx.dtype)[None, :])
+    return jnp.dot(oh.astype(table.dtype), table,
+                   preferred_element_type=table.dtype)
+
+
+def take_packed(idx: jnp.ndarray, *columns):
+    """Gather several per-row attributes with ONE contraction.
+
+    ``columns``: arrays shaped (K,) or (K, Ci), all float-castable.  Returns
+    the same structure gathered at ``idx`` ((R,) / (R, Ci)), computed by
+    packing into a single (K, sum Ci) table.
+    """
+    parts = []
+    widths = []
+    for c in columns:
+        c2 = c[:, None] if c.ndim == 1 else c
+        parts.append(c2.astype(jnp.float32))
+        widths.append(c2.shape[1])
+    packed = jnp.concatenate(parts, axis=1)
+    out = take_rows(packed, idx)
+    res = []
+    off = 0
+    for c, w in zip(columns, widths):
+        piece = out[:, off:off + w]
+        off += w
+        res.append(piece[:, 0] if c.ndim == 1 else piece)
+    return tuple(res)

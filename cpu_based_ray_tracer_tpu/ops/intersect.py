@@ -25,7 +25,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from cpu_based_ray_tracer_tpu.ops import vec
+from cpu_based_ray_tracer_tpu.ops import gather, vec
 from cpu_based_ray_tracer_tpu.scene import Scene, _pytree
 
 INF = jnp.inf
@@ -193,12 +193,18 @@ def assemble_hit(scene: Scene, origin, direction, tt, best_t,
     point = origin + t[:, None] * direction
 
     # --- Recompute attributes from the winning primitive (O(R)). ---
+    # All per-winner lookups go through ONE one-hot contraction per primitive
+    # type (ops.gather): dynamic gathers at R ~ 1M are slower than the whole
+    # intersection pass on TPU.
+    (n_tri, tv0, te1, te2, tuv0, tuv1, tuv2, tmat_f) = gather.take_packed(
+        best_t, tr.normal, tr.v0, tr.e1, tr.e2, tr.uv0, tr.uv1, tr.uv2,
+        tr.material.astype(jnp.float32))
+    (c_hit, r_hit, smat_f) = gather.take_packed(
+        best_s, sp.center, sp.radius, sp.material.astype(jnp.float32))
+
     # Sphere geometric normal: (p - c) / radius — sign of radius flips it
     # (Sphere.cpp:36; Dielectric.h bubble trick).
-    c_hit = sp.center[best_s]
-    r_hit = sp.radius[best_s]
     n_sphere = (point - c_hit) / jnp.where(r_hit == 0.0, 1.0, r_hit)[:, None]
-    n_tri = tr.normal[best_t]
     geom_n = jnp.where(is_tri[:, None], n_tri, n_sphere)
     geom_n = vec.normalize(geom_n)
 
@@ -206,19 +212,18 @@ def assemble_hit(scene: Scene, origin, direction, tt, best_t,
 
     # Triangle barycentrics recomputed once at the winning index
     # (differentiable; the (R, N) matrices above stay fused into the reduce).
-    _, b1, b2 = moller_trumbore_single(origin, direction, tr.v0[best_t],
-                                       tr.e1[best_t], tr.e2[best_t])
+    _, b1, b2 = moller_trumbore_single(origin, direction, tv0, te1, te2)
     # Barycentric uv interpolation as in GetHitInfo
     # (Whitted Style Ray Tracer/.../TriangleMesh.h:120-149).
-    uv_hit = (tr.uv0[best_t] * (1.0 - b1 - b2)[:, None]
-              + tr.uv1[best_t] * b1[:, None]
-              + tr.uv2[best_t] * b2[:, None])
+    uv_hit = (tuv0 * (1.0 - b1 - b2)[:, None]
+              + tuv1 * b1[:, None]
+              + tuv2 * b2[:, None])
     uv_hit = jnp.where(is_tri[:, None], uv_hit, 0.0)
 
-    mat = jnp.where(is_tri, tr.material[best_t], sp.material[best_s])
+    mat = jnp.where(is_tri, tmat_f, smat_f).astype(jnp.int32)
 
     return Hit(t=jnp.where(hit, t, NO_HIT_T), hit=hit, is_triangle=is_tri,
-               prim=prim.astype(jnp.int32), material=mat.astype(jnp.int32),
+               prim=prim.astype(jnp.int32), material=mat,
                point=point, geom_normal=geom_n, front=front, uv=uv_hit)
 
 

@@ -18,7 +18,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from cpu_based_ray_tracer_tpu.ops import vec
+from cpu_based_ray_tracer_tpu.ops import gather, vec
 from cpu_based_ray_tracer_tpu.scene import Scene
 
 
@@ -46,23 +46,31 @@ def sample_area_light(scene: Scene, u_choice, u_tri1, u_tri2) -> LightSample:
     valid = total > 0.0
 
     cdf = jnp.cumsum(areas)
-    # Detached discrete choice (BVH area descent in the reference).
+    # Detached discrete choice (BVH area descent in the reference);
+    # searchsorted(side='right') == count of cdf entries <= budget, a dense
+    # compare-reduce (cheaper than a gather-based search on TPU).
     budget = jax.lax.stop_gradient(u_choice * total)
-    idx = jnp.clip(jnp.searchsorted(jax.lax.stop_gradient(cdf), budget,
-                                    side="right"), 0, tr.count - 1)
+    idx = jnp.sum(jax.lax.stop_gradient(cdf)[None, :] <= budget[:, None],
+                  axis=-1)
+    idx = jnp.clip(idx, 0, tr.count - 1)
+
+    # Per-triangle emission table (tiny N-row gather from the K-row material
+    # table), then ONE one-hot contraction for all per-lane rows.
+    tri_emission = mats.emission[tr.material]                  # (N, 3)
+    v0, e1, e2, normal, emission = gather.take_packed(
+        idx, tr.v0, tr.e1, tr.e2, tr.normal, tri_emission)
 
     # Uniform barycentric point with the reference's parameterization
     # (TriangleMesh.h:82-86: x = 1 - sqrt(u), split remainder by v).
     w = vec.triangle_from(u_tri1, u_tri2)                      # (R, 3)
-    v0 = tr.v0[idx]
-    p = v0 + w[:, 1:2] * tr.e1[idx] + w[:, 2:3] * tr.e2[idx]
+    p = v0 + w[:, 1:2] * e1 + w[:, 2:3] * e2
     # (w0*A + w1*B + w2*C == v0 + w1*e1 + w2*e2)
 
     n = u_choice.shape[0]
     return LightSample(
         position=p,
-        normal=tr.normal[idx],
-        emission=mats.emission[tr.material[idx]],
+        normal=normal,
+        emission=emission,
         pdf=jnp.where(valid, 1.0 / jnp.maximum(total, 1e-20), 0.0)
             * jnp.ones((n,), v0.dtype),
         valid=valid & jnp.ones((n,), bool),
