@@ -33,28 +33,26 @@ def main():
                        rr_survival=0.8)
     key = rng.render_key(0)
 
-    render = jax.jit(
-        lambda k: monte_carlo.render_progressive(
-            scene, camera, cfg, k,
-            jax.numpy.zeros((cfg.height, cfg.width, 3), jax.numpy.float32),
-            0)[0])
+    # Persistent wavefront stepper: fixed-step progressive engine, ~100% lane
+    # utilization (each call advances every lane 32 bounce steps; dead paths
+    # regenerate in place).  Ray counts come from the engine's own counter.
+    n_steps = 32
+    stepper = jax.jit(lambda st: monte_carlo.wavefront_steps(
+        scene, camera, cfg, key, st, n_steps))
 
-    # Rays per sample pass (counted once; identical distribution per pass).
-    rays_per_pass = int(np.asarray(
-        jax.jit(lambda k: monte_carlo.count_rays(scene, camera, cfg, k))(key)))
-    rays_per_call = rays_per_pass * cfg.spp
-
-    out = render(key)
-    jax.block_until_ready(out)  # compile + warm-up
+    state = monte_carlo.wavefront_init(scene, camera, cfg, key)
+    state = stepper(state)
+    jax.block_until_ready(state.acc)  # compile + warm-up
+    rays0 = int(np.asarray(state.nrays))
 
     n_iters = 5
     t0 = time.perf_counter()
-    for i in range(n_iters):
-        out = render(rng.render_key(i + 1))
-    jax.block_until_ready(out)
-    dt = (time.perf_counter() - t0) / n_iters
+    for _ in range(n_iters):
+        state = stepper(state)
+    jax.block_until_ready(state.acc)
+    dt = time.perf_counter() - t0
 
-    rays_per_s = rays_per_call / dt
+    rays_per_s = (int(np.asarray(state.nrays)) - rays0) / dt
     print(json.dumps({
         "metric": "rays_per_s_per_chip_mc_cornell",
         "value": rays_per_s,

@@ -164,6 +164,27 @@ def perspective_rays_slab(cam: PerspectiveCamera, width: int, height: int,
     return vec.normalize(d)
 
 
+def perspective_ray_at(cam: PerspectiveCamera, width: int, height: int,
+                       pixel: jax.Array, jx: jax.Array, jy: jax.Array):
+    """Unit ray direction for flat row-major ``pixel`` indices, (R, 3).
+
+    Per-lane form of ``perspective_rays`` — identical math, but indexed by the
+    absolute pixel counter so a lane can regenerate its own primary ray at any
+    time (the wavefront integrator's path-regeneration step).  ``jx``/``jy``:
+    in-pixel jitter in [0, 1)."""
+    pixel = jnp.asarray(pixel)
+    x = (pixel % width).astype(jnp.float32)
+    y = (pixel // width).astype(jnp.float32)
+    ndc_x = (x + jx) / width * 2.0 - 1.0
+    ndc_y = -((y + jy) / height * 2.0 - 1.0)  # row 0 = top scanline
+    t = jnp.tan(jnp.radians(cam.vfov_degrees) / 2.0)
+    aspect = width / height
+    right, true_up, fwd = camera_basis(cam)
+    d = (ndc_x[..., None] * (t * aspect) * right
+         + ndc_y[..., None] * t * true_up + fwd)
+    return vec.normalize(d)
+
+
 def view_proj_matrices(cam: PerspectiveCamera, width: int, height: int,
                        near: float = 0.1, far: float = 100.0):
     """(view, proj) 4x4 matrices matching glm::lookAt / glm::perspectiveFov

@@ -107,6 +107,59 @@ def test_material_gradients_vs_finite_diff():
         np.testing.assert_allclose(g[i, j], fd, rtol=5e-2, atol=1e-5)
 
 
+def test_wavefront_matches_scan_engine():
+    """The equal-spp wavefront engine traces bit-identical paths to the scan
+    engine (counter-based RNG) — images agree to summation-order rounding."""
+    scene, cam = cornell.cornell_scene(), cornell.cornell_camera()
+    cfg = RenderConfig(width=24, height=16, spp=3, max_depth=5)
+    key = rng.render_key(5)
+    a = np.asarray(monte_carlo.render(scene, cam, cfg, key))
+    b = np.asarray(monte_carlo.render_fast(scene, cam, cfg, key))
+    np.testing.assert_allclose(a, b, atol=1e-5, rtol=1e-5)
+
+
+def test_wavefront_ray_count_matches_scan():
+    scene, cam = cornell.cornell_scene(), cornell.cornell_camera()
+    cfg = RenderConfig(width=16, height=16, spp=1, max_depth=5)
+    key = rng.render_key(6)
+    n_scan = int(np.asarray(monte_carlo.count_rays(scene, cam, cfg, key)))
+    _, _, n_wf = monte_carlo.render_wavefront(
+        scene, cam, cfg, key, jnp.zeros((16, 16, 3)), 0, return_rays=True)
+    assert int(np.asarray(n_wf)) == n_scan
+
+
+def test_persistent_stepper_converges_to_scan():
+    """Equal-time stepper: per-pixel mean over completed samples converges to
+    the scan engine's estimate (same estimator, different lane scheduling)."""
+    scene, cam = cornell.cornell_scene(), cornell.cornell_camera()
+    cfg = RenderConfig(width=24, height=24, spp=48, max_depth=6)
+    key = rng.render_key(7)
+    st = monte_carlo.wavefront_init(scene, cam, cfg, key)
+    st = monte_carlo.wavefront_steps(scene, cam, cfg, key, st, 160)
+    assert int(np.asarray(st.n_done).min()) >= 1
+    img = np.asarray(monte_carlo.wavefront_image(st, cfg))
+    ref = np.asarray(monte_carlo.render(scene, cam, cfg, key))
+    assert np.isfinite(img).all()
+    # Same-mean check at matched sample counts (MC noise-limited tolerance).
+    np.testing.assert_allclose(img.mean(), ref.mean(), rtol=0.05)
+
+
+def test_stepper_state_carries_across_calls():
+    scene, cam = cornell.cornell_scene(), cornell.cornell_camera()
+    cfg = RenderConfig(width=8, height=8, spp=1, max_depth=4)
+    key = rng.render_key(8)
+    one = monte_carlo.wavefront_steps(
+        scene, cam, cfg, key, monte_carlo.wavefront_init(scene, cam, cfg, key),
+        20)
+    two = monte_carlo.wavefront_init(scene, cam, cfg, key)
+    for _ in range(4):
+        two = monte_carlo.wavefront_steps(scene, cam, cfg, key, two, 5)
+    np.testing.assert_allclose(np.asarray(one.acc), np.asarray(two.acc),
+                               atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(one.n_done),
+                                  np.asarray(two.n_done))
+
+
 def test_emission_gradient():
     scene, cam = cornell.cornell_scene(), cornell.cornell_camera()
     cfg = RenderConfig(width=8, height=8, spp=4, max_depth=2)
