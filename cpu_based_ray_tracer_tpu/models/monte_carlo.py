@@ -95,8 +95,8 @@ def _bounce_step(scene: Scene, cfg: RenderConfig, *, seed, pixel, sample,
     dist = jnp.squeeze(vec.norm(to_l), -1)
     wi_l = to_l / jnp.maximum(dist, 1e-20)[:, None]
     ln = jnp.where(vec.dot(ls.normal, -wi_l) < 0.0, -ls.normal, ls.normal)
-    occ = intersect.intersect_scene(scene, p, wi_l, t_min=cfg.t_min)
-    visible = dist < occ.t + cfg.shadow_tolerance  # Renderer.cpp:186
+    occ_t = intersect.nearest_t(scene, p, wi_l, t_min=cfg.t_min)
+    visible = dist < occ_t + cfg.shadow_tolerance  # Renderer.cpp:186
     n_shadow = jnp.sum(alive)                      # shadow rays
     cos_s = jnp.sum(wi_l * n, -1)
     cos_l = jnp.sum(-wi_l * ln, -1)

@@ -227,6 +227,23 @@ def assemble_hit(scene: Scene, origin, direction, tt, best_t,
                point=point, geom_normal=geom_n, front=front, uv=uv_hit)
 
 
+def nearest_t(scene: Scene, origin, direction,
+              t_min: float = 0.0, t_max: float = INF) -> jax.Array:
+    """Nearest-hit distance only, (R,) — the shadow/occlusion fast path.
+
+    Shadow rays never need the winning index or hit attributes (the
+    reference's shadow test reads only ``occlusion.t``, ``Monte Carlo Path
+    Tracer/.../Renderer.cpp:183-186``), so this skips the argmin and the
+    whole ``assemble_hit`` recompute — a pure fused min-reduce.
+    """
+    tr, sp = scene.triangles, scene.spheres
+    tt = jnp.min(triangle_t_matrix(origin, direction, tr.v0, tr.e1, tr.e2,
+                                   t_min, t_max), -1)
+    ts = jnp.min(intersect_spheres(origin, direction, sp.center, sp.radius,
+                                   t_min, t_max), -1)
+    return jnp.minimum(tt, ts)
+
+
 def occluded(scene: Scene, origin, direction, max_dist,
              t_min: float = 0.0, tolerance: float = 0.01) -> jax.Array:
     """Shadow-ray test: True when something blocks before ``max_dist``.
@@ -235,5 +252,5 @@ def occluded(scene: Scene, origin, direction, max_dist,
     (``Monte Carlo Path Tracer/.../Renderer.cpp:183-186``): the +tolerance
     keeps the light itself from shadowing its own sample.
     """
-    h = intersect_scene(scene, origin, direction, t_min=t_min)
-    return ~(max_dist < h.t + tolerance)
+    return ~(max_dist < nearest_t(scene, origin, direction, t_min=t_min)
+             + tolerance)
