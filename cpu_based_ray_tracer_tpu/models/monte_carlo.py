@@ -49,7 +49,8 @@ def _brdf_diffuse(albedo, cos_in):
 
 
 def _bounce_step(scene: Scene, cfg: RenderConfig, *, seed, pixel, sample,
-                 bounce, o, d, throughput, alive):
+                 bounce, o, d, throughput, alive,
+                 intersect_fn=None, nearest_t_fn=None):
     """One path-tracing bounce for a batch of lanes (the body of BOTH engines).
 
     ``sample``/``bounce`` may be scalars (the fixed-depth scan engine) or
@@ -62,8 +63,14 @@ def _bounce_step(scene: Scene, cfg: RenderConfig, *, seed, pixel, sample,
     next bounce and the n_* are the honest ray counts of this step.
     """
     mats = scene.materials
+    if intersect_fn is None:
+        intersect_fn = lambda s, oo, dd, tm: intersect.intersect_scene(  # noqa: E731
+            s, oo, dd, t_min=tm)
+    if nearest_t_fn is None:
+        nearest_t_fn = lambda s, oo, dd, tm: intersect.nearest_t(  # noqa: E731
+            s, oo, dd, t_min=tm)
 
-    hit = intersect.intersect_scene(scene, o, d, t_min=cfg.t_min)
+    hit = intersect_fn(scene, o, d, cfg.t_min)
     n_main = jnp.sum(alive)
 
     # One contraction for all material lookups (ops.gather).
@@ -95,7 +102,7 @@ def _bounce_step(scene: Scene, cfg: RenderConfig, *, seed, pixel, sample,
     dist = jnp.squeeze(vec.norm(to_l), -1)
     wi_l = to_l / jnp.maximum(dist, 1e-20)[:, None]
     ln = jnp.where(vec.dot(ls.normal, -wi_l) < 0.0, -ls.normal, ls.normal)
-    occ_t = intersect.nearest_t(scene, p, wi_l, t_min=cfg.t_min)
+    occ_t = nearest_t_fn(scene, p, wi_l, cfg.t_min)
     visible = dist < occ_t + cfg.shadow_tolerance  # Renderer.cpp:186
     n_shadow = jnp.sum(alive)                      # shadow rays
     cos_s = jnp.sum(wi_l * n, -1)
@@ -122,7 +129,8 @@ def _bounce_step(scene: Scene, cfg: RenderConfig, *, seed, pixel, sample,
 
 
 def trace(scene: Scene, origin, direction, cfg: RenderConfig, *,
-          seed, pixel, sample, count_rays: bool = False):
+          seed, pixel, sample, count_rays: bool = False,
+          intersect_fn=None, nearest_t_fn=None):
     """Path radiance for a batch of primary rays, (R, 3).
 
     seed: uint32 scalar; pixel: (R,) absolute pixel index (the RNG counter);
@@ -140,7 +148,8 @@ def trace(scene: Scene, origin, direction, cfg: RenderConfig, *,
         o, d, throughput, radiance, alive, nrays = state
         delta, o, d, throughput, alive, n_main, n_shadow = _bounce_step(
             scene, cfg, seed=seed, pixel=pixel, sample=sample, bounce=bounce,
-            o=o, d=d, throughput=throughput, alive=alive)
+            o=o, d=d, throughput=throughput, alive=alive,
+            intersect_fn=intersect_fn, nearest_t_fn=nearest_t_fn)
         return (o, d, throughput, radiance + delta, alive,
                 nrays + n_main + n_shadow), None
 
@@ -337,7 +346,8 @@ def wavefront_init(scene: Scene, camera, cfg: RenderConfig, key
 
 
 def wavefront_steps(scene: Scene, camera, cfg: RenderConfig, key,
-                    state: WavefrontState, n_steps: int) -> WavefrontState:
+                    state: WavefrontState, n_steps: int,
+                    intersect_fn=None, nearest_t_fn=None) -> WavefrontState:
     """Advance every lane by ``n_steps`` bounce steps (jit-friendly scan)."""
     h, w = cfg.height, cfg.width
     seed = rng.seed_from_key(key)
@@ -347,7 +357,8 @@ def wavefront_steps(scene: Scene, camera, cfg: RenderConfig, key,
     def step(st: WavefrontState, _):
         delta, o2, d2, tp2, continues, n_main, n_shadow = _bounce_step(
             scene, cfg, seed=seed, pixel=pixel, sample=st.s, bounce=st.b,
-            o=st.o, d=st.d, throughput=st.tp, alive=alive)
+            o=st.o, d=st.d, throughput=st.tp, alive=alive,
+            intersect_fn=intersect_fn, nearest_t_fn=nearest_t_fn)
         cur = st.cur + delta
         cont = continues & (st.b + 1 < cfg.max_depth)
         done = ~cont

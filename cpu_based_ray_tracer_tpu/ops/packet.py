@@ -1,0 +1,253 @@
+"""Packet-culled Pallas mesh intersector — the TPU north-star kernel.
+
+The reference traverses a pointer BVH one ray at a time
+(``BVH Ray Tracer/.../BVH.h:81-100``); a literal translation (per-lane
+``while_loop`` + dynamic scalar gathers, ``ops.bvh.traverse``) is correct but
+anti-TPU: under ``vmap`` every lane pays the slowest lane's node walk and each
+node visit is a ~1 µs HBM gather.  Dense brute force (``ops.intersect``) is
+the opposite extreme — perfectly vectorized but O(R·N): fastest at Cornell's
+32 triangles, hopeless at the BVH stage's ~11k-triangle bunny+teapot.
+
+TPU-first middle ground — **ray-packet cluster culling**:
+
+- Host side, triangles are partitioned into spatial *clusters* (the leaves of
+  the same median-split BVH the reference builds, leaf size = CS), each
+  padded to exactly CS triangles and stored contiguously with its AABB.
+- The kernel grids over blocks of RT rays.  Per block it loops over all C
+  clusters: a slab test of the cluster AABB against the block's rays (cheap
+  VPU work, ~30 ops per ray) decides whether ANY ray in the block can hit the
+  cluster — only then (``lax.cond``, real work-skipping a fused XLA op cannot
+  express) does it run Möller-Trumbore on the cluster's CS triangles against
+  all RT rays and min-reduce into the block's running best.
+
+Camera/shadow/Whitted-bounce rays are spatially coherent within a block, so
+typical blocks intersect a small fraction of clusters — the kernel does
+O(R·N_hit) work with dense-vector inner loops and zero per-lane gathers.
+
+Memory layout (v5e-tuned, transpose-free):
+- rays   (NB, 8, RT) f32          — per-block rows ox,oy,oz,dx,dy,dz,pads,
+                                    components as (1, RT) lane vectors;
+- tris   (C, CS, 12) f32 in VMEM  — per-cluster (CS, 12) blocks, components
+                                    as (CS, 1) sublane vectors;
+- AABBs  (C, 8) f32 in SMEM       — scalar reads drive the cull;
+- intermediates (CS, RT) in vregs/VMEM; best-hit carry (1, RT).
+
+The Möller-Trumbore math is the *same formulation* as the brute-force oracle
+(``ops.intersect.triangle_t_matrix``, reference ``TriangleMesh.h:19-45``), so
+t values agree to fp rounding and the oracle test can be tight.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from cpu_based_ray_tracer_tpu.ops import bvh as bvh_ops
+
+_DET_EPS = 1e-12
+# Python-float miss sentinel (same value as ops.intersect.NO_HIT_T; a plain
+# float so the kernel does not capture a device-array constant).
+NO_HIT = float(np.finfo(np.float32).max)
+
+
+class Clusters(NamedTuple):
+    """Host-built cluster set over a triangle soup (device arrays)."""
+
+    tri: jax.Array      # (C, CS, 12) f32 — padded per-cluster triangle blocks
+    aabb: jax.Array     # (C, 8) f32 — min xyz, max xyz, 2 pad columns
+    tri_id: jax.Array   # (C*CS,) i32 — original triangle index, -1 for pads
+    cs: int             # static: triangles per cluster
+
+    @property
+    def n_clusters(self) -> int:
+        return self.aabb.shape[0]
+
+
+def build_clusters(tri_vertices: np.ndarray, cluster_size: int = 128
+                   ) -> Clusters:
+    """Partition triangles into spatial clusters: the leaves of the
+    median-split BVH (same split rule as the reference, ``BVH.h:142-176``)
+    with ``leaf_size=cluster_size``, each padded to exactly ``cluster_size``
+    with degenerate (never-hit) triangles."""
+    tris = np.asarray(tri_vertices, np.float64).reshape(-1, 3, 3)
+    flat = bvh_ops.build_bvh(tris, leaf_size=cluster_size)
+    first = np.asarray(flat.leaf_first)
+    count = np.asarray(flat.leaf_count)
+    order = np.asarray(flat.order)
+    leaves = np.flatnonzero(count > 0)
+
+    cs = cluster_size
+    c = len(leaves)
+    v0 = tris[:, 0]
+    e1 = tris[:, 1] - tris[:, 0]
+    e2 = tris[:, 2] - tris[:, 0]
+    packed = np.zeros((c, cs, 12), np.float32)
+    tri_id = np.full((c * cs,), -1, np.int32)
+    aabb = np.zeros((c, 8), np.float32)
+    for ci, leaf in enumerate(leaves):
+        idx = order[first[leaf]:first[leaf] + count[leaf]]
+        k = len(idx)
+        packed[ci, :k, 0:3] = v0[idx]
+        packed[ci, :k, 3:6] = e1[idx]
+        packed[ci, :k, 6:9] = e2[idx]
+        tri_id[ci * cs:ci * cs + k] = idx
+        lo = tris[idx].reshape(-1, 3).min(0)
+        hi = tris[idx].reshape(-1, 3).max(0)
+        aabb[ci, 0:3] = np.nextafter(lo.astype(np.float32), -np.inf)
+        aabb[ci, 3:6] = np.nextafter(hi.astype(np.float32), np.inf)
+    return Clusters(
+        tri=jnp.asarray(packed),                      # (C, CS, 12)
+        aabb=jnp.asarray(aabb),
+        tri_id=jnp.asarray(tri_id),
+        cs=cs,
+    )
+
+
+def _kernel(aabb_ref, rays_ref, tri_ref, t_ref, idx_ref, *,
+            n_clusters: int, cs: int, t_min: float):
+    """One ray block vs all clusters (see module docstring for layout)."""
+    rays = rays_ref[0]                                      # (8, RT)
+    ox, oy, oz = rays[0:1, :], rays[1:2, :], rays[2:3, :]   # (1, RT)
+    dx, dy, dz = rays[3:4, :], rays[4:5, :], rays[5:6, :]
+
+    def safe_inv(v):
+        tiny = jnp.where(v < 0.0, -1e-20, 1e-20)
+        return 1.0 / jnp.where(jnp.abs(v) < 1e-20, tiny, v)
+
+    ix, iy, iz = safe_inv(dx), safe_inv(dy), safe_inv(dz)
+
+    def body(c, carry):
+        best_t, best_i = carry
+        # --- Cluster AABB slab test for the whole block (BoundingVolume.h:
+        # 173-215 semantics + nearer-than-best cull).
+        bx0, by0, bz0 = aabb_ref[c, 0], aabb_ref[c, 1], aabb_ref[c, 2]
+        bx1, by1, bz1 = aabb_ref[c, 3], aabb_ref[c, 4], aabb_ref[c, 5]
+        tx0 = (bx0 - ox) * ix
+        tx1 = (bx1 - ox) * ix
+        ty0 = (by0 - oy) * iy
+        ty1 = (by1 - oy) * iy
+        tz0 = (bz0 - oz) * iz
+        tz1 = (bz1 - oz) * iz
+        t_in = jnp.maximum(jnp.maximum(jnp.minimum(tx0, tx1),
+                                       jnp.minimum(ty0, ty1)),
+                           jnp.minimum(tz0, tz1))
+        t_out = jnp.minimum(jnp.minimum(jnp.maximum(tx0, tx1),
+                                        jnp.maximum(ty0, ty1)),
+                            jnp.maximum(tz0, tz1))
+        live = (t_out >= 0.0) & (t_in <= t_out) & (t_in <= best_t)  # (1, RT)
+
+        def tested(carry):
+            best_t, best_i = carry
+            tb = tri_ref[c]                                       # (CS, 12)
+            v0x, v0y, v0z = tb[:, 0:1], tb[:, 1:2], tb[:, 2:3]    # (CS, 1)
+            e1x, e1y, e1z = tb[:, 3:4], tb[:, 4:5], tb[:, 5:6]
+            e2x, e2y, e2z = tb[:, 6:7], tb[:, 7:8], tb[:, 8:9]
+            # Möller-Trumbore, identical formulation to the oracle
+            # (ops.intersect.triangle_t_matrix). (CS, 1) x (1, RT) -> (CS, RT)
+            s1x = dy * e2z - dz * e2y
+            s1y = dz * e2x - dx * e2z
+            s1z = dx * e2y - dy * e2x
+            det = s1x * e1x + s1y * e1y + s1z * e1z
+            inv_det = jnp.where(jnp.abs(det) > _DET_EPS, 1.0 / det, 0.0)
+            sx, sy, sz = ox - v0x, oy - v0y, oz - v0z
+            s2x = sy * e1z - sz * e1y
+            s2y = sz * e1x - sx * e1z
+            s2z = sx * e1y - sy * e1x
+            t = (s2x * e2x + s2y * e2y + s2z * e2z) * inv_det
+            b1 = (s1x * sx + s1y * sy + s1z * sz) * inv_det
+            b2 = (s2x * dx + s2y * dy + s2z * dz) * inv_det
+            ok = ((jnp.abs(det) > _DET_EPS) & (t > t_min) & (b1 >= 0.0)
+                  & (b2 >= 0.0) & (1.0 - b1 - b2 >= 0.0))
+            tm = jnp.where(ok, t, NO_HIT)                   # (CS, RT)
+            t_c = jnp.min(tm, axis=0, keepdims=True)          # (1, RT)
+            rows = jax.lax.broadcasted_iota(jnp.int32, tm.shape, 0)
+            i_c = jnp.min(jnp.where(tm == t_c, rows, cs), axis=0,
+                          keepdims=True)
+            better = t_c < best_t
+            return (jnp.where(better, t_c, best_t),
+                    jnp.where(better, c * cs + i_c, best_i))
+
+        return jax.lax.cond(jnp.any(live), tested, lambda x: x,
+                            (best_t, best_i))
+
+    rt = rays.shape[1]
+    best = (jnp.full((1, rt), jnp.float32(NO_HIT), jnp.float32),
+            jnp.full((1, rt), -1, jnp.int32))
+    best_t, best_i = jax.lax.fori_loop(0, n_clusters, body, best)
+    t_ref[:, :] = best_t
+    idx_ref[:, :] = best_i
+
+
+def _ceil_to(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("cs", "t_min", "block", "interpret"))
+def _nearest_padded(clusters: Clusters, rays_blocked, *, cs: int,
+                    t_min: float, block: int, interpret: bool):
+    c = clusters.n_clusters
+    nb = rays_blocked.shape[0]
+    kern = functools.partial(_kernel, n_clusters=c, cs=cs, t_min=t_min)
+    t, slot = pl.pallas_call(
+        kern,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((c, 8), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 8, block), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, cs, 12), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, block), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((1, nb * block), jnp.float32),
+            jax.ShapeDtypeStruct((1, nb * block), jnp.int32),
+        ],
+        interpret=interpret,
+    )(clusters.aabb, rays_blocked, clusters.tri)
+    slot = slot.reshape(-1)
+    # Map padded-slot winners back to original triangle indices (tiny gather
+    # from the (C*CS,) id table; -1 on miss).
+    idx = jnp.where(slot >= 0, clusters.tri_id[jnp.clip(slot, 0, None)],
+                    jnp.int32(-1))
+    return t.reshape(-1), idx
+
+
+def nearest(clusters: Clusters, origin, direction, t_min: float = 0.0,
+            *, block: int = 1024, interpret: bool | None = None):
+    """Nearest triangle hit for (R, 3) rays -> (t (R,), tri_index (R,) into
+    the ORIGINAL triangle order, -1 on miss).
+
+    ``interpret`` defaults to True off-TPU (tests on the CPU backend run the
+    kernel through the Pallas interpreter — same semantics).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    r = origin.shape[0]
+    rp = _ceil_to(max(r, 1), block)
+    o = jnp.asarray(origin, jnp.float32)
+    d = jnp.asarray(direction, jnp.float32)
+    if rp != r:
+        # Pad with harmless rays; padded outputs are sliced away.
+        o = jnp.concatenate([o, jnp.zeros((rp - r, 3), jnp.float32)], 0)
+        d = jnp.concatenate(
+            [d, jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0], jnp.float32),
+                                 (rp - r, 3))], 0)
+    rays8 = jnp.concatenate([o.T, d.T, jnp.zeros((2, rp), jnp.float32)], 0)
+    rays_blocked = rays8.reshape(8, rp // block, block).swapaxes(0, 1)
+    t, idx = _nearest_padded(clusters, rays_blocked, cs=clusters.cs,
+                             t_min=float(t_min), block=block,
+                             interpret=bool(interpret))
+    return t[:r], idx[:r]

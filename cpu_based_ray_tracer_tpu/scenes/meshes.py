@@ -78,22 +78,26 @@ def transform(tris: np.ndarray, scale: float = 1.0,
     return tris * scale + np.asarray(translate, np.float64)
 
 
-def bvh_stage_scene(subdivisions: int = 3) -> Scene:
-    """Mesh scene mirroring the BVH stage's Renderer ctor
-    (``BVH Ray Tracer/.../Renderer.cpp:28-40``): bunny stand-in at scale 2,
-    translate (-1, 6.1, 0); teapot stand-in at scale 1, translate (-1, 3, 0);
-    two white point lights at (+-20, 70, 20) with radiance (1,1,1); default
-    Whitted material (Diffuse_Glossy, white).  The reference's specular
-    exponent in this stage is the *refractive index* — a quirk of
-    ``Renderer.cpp:211`` — reproduced via spec_exp=1 (WhittedMaterial.h:48
-    default refractive_index 1.0)."""
+def reference_asset_dir() -> str | None:
+    """Directory of the reference checkout holding the BVH-stage OBJ assets
+    (override with $CRT_REFERENCE_DIR); None when unavailable."""
+    import os
+
+    root = os.environ.get("CRT_REFERENCE_DIR", "/root/reference")
+    p = os.path.join(root, "BVH Ray Tracer", "8599RayTracerGUI", "src")
+    return p if os.path.isdir(p) else None
+
+
+def _mesh_scene(tris: np.ndarray) -> Scene:
+    """Scene assembly shared by the real and stand-in mesh scenes: the
+    BVH-stage Renderer ctor's materials & lights
+    (``BVH Ray Tracer/.../Renderer.cpp:28-40``, ``TriangleMesh.h:138-141``:
+    Diffuse_Glossy albedo (0.5,0.5,0.5), phong_diffuse 0.6, phong_specular 0,
+    specular exponent 0; two white point lights at (+-20, 70, 20))."""
     mb = MaterialBuilder()
-    white = mb.add(DIFFUSE_GLOSSY, albedo=(1.0, 1.0, 1.0), ior=1.3,
-                   spec_exp=1.0)
-    bunny = transform(icosphere(subdivisions, radius=1.0), 2.0, (-1, 6.1, 0))
-    teapot = transform(torus(1.6, 0.6), 1.0, (-1, 3, 0))
-    tris = np.concatenate([bunny, teapot])
-    mats = np.full(len(tris), white, np.int32)
+    grey = mb.add(DIFFUSE_GLOSSY, albedo=(0.5, 0.5, 0.5), ior=1.3,
+                  kd=0.6, ks=0.0, spec_exp=0.0)
+    mats = np.full(len(tris), grey, np.int32)
     lights = PointLights(
         position=jnp.asarray([[-20.0, 70.0, 20.0], [20.0, 70.0, 20.0]],
                              jnp.float32),
@@ -101,6 +105,40 @@ def bvh_stage_scene(subdivisions: int = 3) -> Scene:
     return make_scene(triangles=make_triangles(tris, mats),
                       materials=mb.build(), lights=lights,
                       sky_bottom=(0.2, 0.7, 0.8), sky_top=(0.2, 0.7, 0.8))
+
+
+def bunny_teapot_scene() -> Scene:
+    """The reference BVH stage's ACTUAL scene: ``stanford_bunny.obj`` at
+    scale 2 translate (-1, 6.1, 0) + ``utah_teapot.obj`` at scale 1 translate
+    (-1, 3, 0) (``BVH Ray Tracer/.../Renderer.cpp:28-31``), loaded from the
+    reference checkout's assets.  Raises FileNotFoundError when the assets
+    are not present (tests skip; the stand-in ``bvh_stage_scene`` always
+    works)."""
+    import os
+
+    src = reference_asset_dir()
+    if src is None:
+        raise FileNotFoundError("reference OBJ assets unavailable "
+                                "(set $CRT_REFERENCE_DIR)")
+    from cpu_based_ray_tracer_tpu.utils import objio
+
+    bunny, _ = objio.load_obj(os.path.join(src, "stanford_bunny.obj"),
+                              scale=2.0, translate=(-1.0, 6.1, 0.0))
+    teapot, _ = objio.load_obj(os.path.join(src, "utah_teapot.obj"),
+                               scale=1.0, translate=(-1.0, 3.0, 0.0))
+    return _mesh_scene(np.concatenate([bunny, teapot]))
+
+
+def bvh_stage_scene(subdivisions: int = 3) -> Scene:
+    """Mesh scene mirroring the BVH stage's Renderer ctor
+    (``BVH Ray Tracer/.../Renderer.cpp:28-40``): bunny stand-in at scale 2,
+    translate (-1, 6.1, 0); teapot stand-in at scale 1, translate (-1, 3, 0);
+    two white point lights at (+-20, 70, 20) with radiance (1,1,1); the
+    reference's per-triangle mesh material (grey Diffuse_Glossy,
+    ``TriangleMesh.h:138-141``)."""
+    bunny = transform(icosphere(subdivisions, radius=1.0), 2.0, (-1, 6.1, 0))
+    teapot = transform(torus(1.6, 0.6), 1.0, (-1, 3, 0))
+    return _mesh_scene(np.concatenate([bunny, teapot]))
 
 
 def bvh_stage_camera() -> cam_mod.PerspectiveCamera:

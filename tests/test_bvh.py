@@ -140,9 +140,10 @@ def test_mesh_stage_render():
     img = np.asarray(jax.jit(
         lambda: mesh_model.render(bundle, cam, cfg))())
     assert np.isfinite(img).all()
-    # Sky around the objects; lit white geometry in the middle.
+    # Sky around the objects; lit grey geometry in the middle (the
+    # reference's mesh material: albedo 0.5, kd 0.6 — TriangleMesh.h:138-141).
     np.testing.assert_allclose(img[0, 0], (0.2, 0.7, 0.8), atol=1e-5)
-    assert img[12:24, 16:32].mean() > 0.1
+    assert img[12:24, 16:32].mean() > 0.05
 
 
 def test_mesh_render_matches_bruteforce():

@@ -135,3 +135,16 @@ def test_hit_normals_unit_and_facing(rng_np):
                                atol=1e-5)
     cosines = np.sum(n[mask] * d[mask], -1)
     assert (cosines <= 1e-6).all()
+
+
+def test_nearest_t_matches_intersect_scene(rng_np):
+    # Pins the shadow fast path to the main path (ADVICE r1): nearest_t must
+    # be bit-equal to intersect_scene().t on a mixed triangle+sphere scene.
+    scene, *_ = _random_scene(rng_np)
+    o = rng_np.uniform(-4, 4, (128, 3)).astype(np.float32)
+    d = rng_np.normal(size=(128, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    o, d = jnp.asarray(o), jnp.asarray(d)
+    hit = jax.jit(lambda: intersect.intersect_scene(scene, o, d, t_min=1e-3))()
+    nt = jax.jit(lambda: intersect.nearest_t(scene, o, d, t_min=1e-3))()
+    assert bool(jnp.all(nt == hit.t))

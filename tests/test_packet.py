@@ -1,0 +1,97 @@
+"""Packet-culled Pallas intersector vs the brute-force oracle.
+
+On the CPU test backend the kernel runs through the Pallas interpreter —
+identical semantics to the compiled TPU kernel (which was additionally
+verified exact vs brute force on-chip for the real bunny+teapot scene, see
+PERF.md)."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cpu_based_ray_tracer_tpu import camera as cam_mod
+from cpu_based_ray_tracer_tpu.ops import bvh as bvh_ops
+from cpu_based_ray_tracer_tpu.ops import packet
+from cpu_based_ray_tracer_tpu.scenes import meshes
+
+
+def _soup_edges(tris):
+    v0 = jnp.asarray(tris[:, 0], jnp.float32)
+    e1 = jnp.asarray(tris[:, 1] - tris[:, 0], jnp.float32)
+    e2 = jnp.asarray(tris[:, 2] - tris[:, 0], jnp.float32)
+    return v0, e1, e2
+
+
+def _check_vs_oracle(tris, o, d, t_min=1e-3, block=256, cs=32):
+    cl = packet.build_clusters(tris, cluster_size=cs)
+    t, idx = packet.nearest(cl, o, d, t_min, block=block)
+    v0, e1, e2 = _soup_edges(tris)
+    tb, ib = bvh_ops.nearest_triangle_bruteforce(v0, e1, e2, o, d, t_min)
+    t, idx, tb, ib = map(np.asarray, (t, idx, tb, ib))
+    hit_p, hit_b = t < 1e30, tb < 1e30
+    np.testing.assert_array_equal(hit_p, hit_b)
+    m = hit_p
+    np.testing.assert_allclose(t[m], tb[m], rtol=1e-5, atol=1e-6)
+    # Index may differ only where two triangles tie exactly at the same t.
+    diff = m & (idx != ib)
+    assert not diff.any() or np.allclose(t[diff], tb[diff])
+
+
+def test_packet_random_rays_icosphere(rng_np):
+    tris = meshes.icosphere(2)  # 320 triangles
+    r = 512
+    o = rng_np.uniform(-2, 2, (r, 3)).astype(np.float32)
+    d = rng_np.normal(size=(r, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    _check_vs_oracle(tris, jnp.asarray(o), jnp.asarray(d))
+
+
+def test_packet_camera_rays_two_meshes():
+    # Coherent primary rays over the stand-in bunny+teapot layout.
+    bunny = meshes.transform(meshes.icosphere(2), 2.0, (-1, 6.1, 0))
+    teapot = meshes.transform(meshes.torus(1.6, 0.6, 16, 8), 1.0, (-1, 3, 0))
+    tris = np.concatenate([bunny, teapot])
+    cam = meshes.bvh_stage_camera()
+    d = cam_mod.perspective_rays(cam, 32, 16).reshape(-1, 3)
+    o = jnp.broadcast_to(cam.position, d.shape)
+    _check_vs_oracle(tris, o, d, block=128, cs=64)
+
+
+def test_packet_ray_padding():
+    # Ray counts that are not a multiple of the block size round-trip.
+    tris = meshes.icosphere(1)
+    rng = np.random.default_rng(3)
+    o = rng.uniform(-2, 2, (100, 3)).astype(np.float32)
+    d = rng.normal(size=(100, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    _check_vs_oracle(tris, jnp.asarray(o), jnp.asarray(d), block=256)
+
+
+def test_packet_t_min_respected():
+    # A ray starting ON a triangle must not self-intersect below t_min.
+    tris = meshes.icosphere(1)
+    cl = packet.build_clusters(tris, cluster_size=32)
+    surf = tris[0].mean(0).astype(np.float32)
+    o = jnp.asarray([surf, surf])
+    d = jnp.asarray([[1.0, 0.0, 0.0], [-1.0, 0.0, 0.0]], jnp.float32)
+    t, idx = packet.nearest(cl, o, d, t_min=1e-3, block=256)
+    t = np.asarray(t)
+    assert (t[t < 1e30] > 1e-3).all()
+
+
+@pytest.mark.skipif(meshes.reference_asset_dir() is None,
+                    reason="reference OBJ assets unavailable")
+def test_packet_real_bunny_teapot_subset():
+    scene = meshes.bunny_teapot_scene()
+    tr = scene.triangles
+    assert tr.count == 11288  # 4968 bunny + 6320 teapot faces
+    v0 = np.asarray(tr.v0, np.float64)
+    tris = np.stack([v0, v0 + np.asarray(tr.e1, np.float64),
+                     v0 + np.asarray(tr.e2, np.float64)], 1)
+    cam = meshes.bvh_stage_camera()
+    d = cam_mod.perspective_rays(cam, 16, 8).reshape(-1, 3)
+    o = jnp.broadcast_to(cam.position, d.shape)
+    _check_vs_oracle(tris, o, d, block=128, cs=128)

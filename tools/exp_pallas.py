@@ -79,6 +79,7 @@ def kernel(mo_ref, md_ref, o4_ref, d4_ref, t_ref, idx_ref):
 
 @jax.jit
 def nearest_pallas(o, d):
+    assert o.shape[0] % RT == 0, f"ray count must be a multiple of {RT}"
     o4 = jnp.concatenate([o, jnp.ones((o.shape[0], 1), o.dtype)], -1).T  # (4,R)
     d4 = jnp.concatenate([d, jnp.zeros((d.shape[0], 1), d.dtype)], -1).T
     grid = (o.shape[0] // RT,)

@@ -112,10 +112,6 @@ def affine(o, d):
     return jnp.min(tm, 0), jnp.argmin(tm, 0)
 
 
-def affine_hi(o, d):
-    return affine(o, d)
-
-
 t0, i0 = bench("MT (R,N)  [current]", cur, o, d)
 t1, i1 = bench("MT (N,R)  transposed", mt_T, o, d)
 t2, i2 = bench("affine MXU (N,R)", affine, o, d)
