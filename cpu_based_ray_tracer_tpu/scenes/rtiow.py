@@ -84,6 +84,6 @@ def nppt_scene() -> Scene:
 
 def nppt_camera() -> cam_mod.PerspectiveCamera:
     """NPPT camera pose (``non physical path tracer/.../Camera.h:18-19``),
-    vfov 45 (mainloop.cpp Camera ctor)."""
+    vfov 35 (mainloop.cpp:22 ``Camera camera{ 35.0f, 0.1f, 100.0f }``)."""
     return cam_mod.make_perspective_camera((0, 0, 6), (0, 0, -1),
-                                           vfov_degrees=45.0)
+                                           vfov_degrees=35.0)

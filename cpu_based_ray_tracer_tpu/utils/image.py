@@ -59,3 +59,33 @@ def write_png(path, rgb_u8: np.ndarray) -> None:
            + chunk(b"IDAT", zlib.compress(raw, 6)) + chunk(b"IEND", b""))
     with open(path, "wb") as f:
         f.write(png)
+
+
+def read_png(path) -> np.ndarray:
+    """Read an 8-bit RGB PNG written by ``write_png`` (filter-0 scanlines,
+    single IDAT stream; no interlace)."""
+    with open(path, "rb") as f:
+        data = f.read()
+    assert data[:8] == b"\x89PNG\r\n\x1a\n", "not a PNG"
+    pos, w = 8, None
+    idat = b""
+    while pos < len(data):
+        (length,) = struct.unpack(">I", data[pos:pos + 4])
+        tag = data[pos + 4:pos + 8]
+        payload = data[pos + 8:pos + 8 + length]
+        if tag == b"IHDR":
+            w, h, depth, ctype, _, _, interlace = struct.unpack(
+                ">IIBBBBB", payload)
+            assert (depth, ctype, interlace) == (8, 2, 0), \
+                "read_png only supports our write_png output (RGB8)"
+        elif tag == b"IDAT":
+            idat += payload
+        pos += 12 + length
+    raw = zlib.decompress(idat)
+    stride = 1 + w * 3
+    rows = []
+    for i in range(h):
+        line = raw[i * stride:(i + 1) * stride]
+        assert line[0] == 0, "read_png only supports filter-0 scanlines"
+        rows.append(np.frombuffer(line, np.uint8, count=w * 3, offset=1))
+    return np.stack(rows).reshape(h, w, 3)

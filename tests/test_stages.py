@@ -37,8 +37,9 @@ def test_nppt_stage_render():
     img = np.asarray(jax.jit(
         lambda k: nppt.render(scene, cam, cfg, k))(rng.render_key(0)))
     assert np.isfinite(img).all()
-    # Sky gradient at the top (white->blue lerp on ray.y).
-    assert img[0, 32, 2] >= img[0, 32, 0]
+    # Sky gradient at the top corner (white->blue lerp on ray.y; the top
+    # CENTER hits the floating glass sphere at the reference's vfov 35).
+    assert img[0, 2, 2] >= img[0, 2, 0]
     u8 = np.asarray(nppt.render_u8(scene, cam, cfg, rng.render_key(0)))
     assert u8.dtype == np.uint8
 

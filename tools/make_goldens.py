@@ -1,0 +1,273 @@
+"""Generate golden images for every BASELINE config (VERDICT r1 item 2).
+
+Two tiers:
+
+- ``test``     — small, CPU-renderable in seconds; committed under
+  ``goldens/test/`` and pinned by ``tests/test_golden.py`` (tolerance
+  regression against the committed artifact).
+- ``showcase`` — full-size reference-matched renders (the 883x900 viewport
+  of BASELINE.md; offline at its native 400x225/100spp); committed under
+  ``goldens/showcase/`` and compared statistically against the reference's
+  own ``Sample Images/`` screenshots.  Run on the TPU
+  (``python tools/make_goldens.py --tier showcase``); the MC 1024-SPP render
+  is minutes on-chip vs hours on CPU.
+
+Usage: python tools/make_goldens.py [--tier test|showcase|all] [--only NAME]
+                                    [--cpu]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+GOLDEN_DIR = os.path.join(ROOT, "goldens")
+
+
+def _imports():
+    from cpu_based_ray_tracer_tpu.config import RenderConfig  # noqa: F401
+    return RenderConfig
+
+
+def _u8(img, gamma=2.0):
+    from cpu_based_ray_tracer_tpu.ops import tonemap
+
+    return np.asarray(tonemap.quantize_u8(img, gamma))
+
+
+def _save(tier: str, name: str, u8: np.ndarray, meta: dict,
+          manifest: dict, ppm: bool = False):
+    from cpu_based_ray_tracer_tpu.utils import image as im
+
+    d = os.path.join(GOLDEN_DIR, tier)
+    os.makedirs(d, exist_ok=True)
+    im.write_png(os.path.join(d, name + ".png"), u8)
+    if ppm:
+        im.write_ppm(os.path.join(d, name + ".ppm"), u8)
+    manifest[name] = dict(meta, shape=list(u8.shape))
+    print(f"[{tier}] {name}: {u8.shape[1]}x{u8.shape[0]} {meta}", flush=True)
+
+
+# --------------------------------------------------------------------------
+# Artifact builders.  Each returns (u8_image, meta) for a given size tuple.
+# --------------------------------------------------------------------------
+
+def offline_rtiow(w, h, spp):
+    """Offline prototype: RTIOW two-sphere scene, thin-lens-capable camera,
+    depth 50, gamma 2 (``offline prototype/.../main.cpp:74-229``)."""
+    from cpu_based_ray_tracer_tpu.config import RenderConfig
+    from cpu_based_ray_tracer_tpu.models import offline
+    from cpu_based_ray_tracer_tpu.scenes import rtiow
+    from cpu_based_ray_tracer_tpu.utils import rng
+
+    cfg = RenderConfig(width=w, height=h, spp=spp, max_depth=50)
+    u8 = np.asarray(offline.render_u8(rtiow.offline_two_sphere_scene(),
+                                      rtiow.offline_camera(w / h), cfg,
+                                      rng.render_key(0)))
+    return u8, dict(spp=spp, depth=50)
+
+
+def nppt(w, h, spp):
+    """NPPT stage: RTIOW 6-sphere scene incl. hollow glass bubble
+    (``non physical path tracer/.../mainloop.cpp:30-41``)."""
+    from cpu_based_ray_tracer_tpu.config import RenderConfig
+    from cpu_based_ray_tracer_tpu.models import nppt as nppt_model
+    from cpu_based_ray_tracer_tpu.scenes import rtiow
+    from cpu_based_ray_tracer_tpu.utils import rng
+
+    # The NPPT display gamma is runtime-switchable with DEFAULT 1 (linear,
+    # ``NPPTToolbox.h:40-44``) — the published screenshot uses it.
+    cfg = RenderConfig(width=w, height=h, spp=spp, max_depth=50, gamma=1.0)
+    u8 = np.asarray(nppt_model.render_u8(rtiow.nppt_scene(),
+                                         rtiow.nppt_camera(), cfg,
+                                         rng.render_key(1)))
+    return u8, dict(spp=spp, depth=50, gamma=1)
+
+
+def whitted(w, h):
+    """Whitted stage: diffuse sphere + glass sphere + chessboard + 2 point
+    lights, depth 5 (``Whitted Style Ray Tracer/.../Renderer.cpp:27-49``).
+    Deterministic (no RNG)."""
+    from cpu_based_ray_tracer_tpu.config import RenderConfig
+    from cpu_based_ray_tracer_tpu.models import whitted as wmodel
+    from cpu_based_ray_tracer_tpu.scenes import whitted_scene
+
+    cfg = RenderConfig(width=w, height=h, whitted_depth=5,
+                       ray_chunk=65536)
+    img = wmodel.render(whitted_scene.whitted_scene(),
+                        whitted_scene.whitted_camera(), cfg)
+    # GUI stages after NPPT display linear radiance: mean -> clamp -> x255,
+    # no gamma (``Monte Carlo .../Renderer.cpp:130-133`` and the Whitted/BVH
+    # equivalents).  Only offline/NPPT gamma-correct.
+    return _u8(img, gamma=1.0), dict(depth=5)
+
+
+def bunny_teapot(w, h, method="auto"):
+    """BVH stage: the reference's actual stanford_bunny + utah_teapot OBJs
+    through the packet intersector (``BVH Ray Tracer/.../Renderer.cpp:26-42``)."""
+    from cpu_based_ray_tracer_tpu.config import RenderConfig
+    from cpu_based_ray_tracer_tpu.models import mesh as mesh_model
+    from cpu_based_ray_tracer_tpu.scenes import meshes
+
+    scene = meshes.bunny_teapot_scene()
+    bundle = mesh_model.prepare(scene, method=method)
+    cfg = RenderConfig(width=w, height=h, whitted_depth=5, ray_chunk=262144)
+    img = mesh_model.render(bundle, meshes.bvh_stage_camera(), cfg)
+    return _u8(img, gamma=1.0), dict(depth=5, tris=int(scene.triangles.count),
+                                     method=bundle.method)
+
+
+def mc_cornell(w, h, spp, rr, chunk_spp=32):
+    """MC Cornell (the north star): NEE + RR path tracing, progressive
+    accumulation (``Monte Carlo Path Tracer/.../Renderer.cpp:136-214``)."""
+    from cpu_based_ray_tracer_tpu.config import RenderConfig
+    from cpu_based_ray_tracer_tpu.models import monte_carlo
+    from cpu_based_ray_tracer_tpu.scenes import cornell
+    from cpu_based_ray_tracer_tpu.utils import rng
+
+    scene, cam = cornell.cornell_scene(), cornell.cornell_camera()
+    cfg = RenderConfig(width=w, height=h, spp=chunk_spp, max_depth=16,
+                       rr_survival=rr)
+    key = rng.render_key(2)
+    step = jax.jit(lambda acc, s: monte_carlo.render_wavefront(
+        scene, cam, cfg, key, acc, s))
+    acc = jnp.zeros((h, w, 3), jnp.float32)
+    s = 0
+    t0 = time.time()
+    while s < spp:
+        acc, s = step(acc, s)
+        s = int(s)
+        print(f"    mc rr={rr}: {s}/{spp} spp ({time.time() - t0:.0f}s)",
+              flush=True)
+    img = np.asarray(acc) / spp
+    return _u8(img, gamma=1.0), dict(spp=spp, rr=rr, depth=16)
+
+
+def denoiser_triple(w, h, n_frames=8):
+    """Denoiser stage: 1-SPP Cornell frames -> (noisy, denoised, denoised
+    without immediate clamping), after ``n_frames`` static-camera frames so
+    the temporal filter has history (``Denoiser/.../Renderer.cpp:101-270``)."""
+    from cpu_based_ray_tracer_tpu.config import RenderConfig
+    from cpu_based_ray_tracer_tpu.models import denoiser as dmodel
+    from cpu_based_ray_tracer_tpu.scenes import cornell
+    from cpu_based_ray_tracer_tpu.utils import rng
+
+    scene, cam = cornell.cornell_scene(), cornell.cornell_camera()
+    cfg = RenderConfig(width=w, height=h, max_depth=16, rr_survival=0.8)
+    key = rng.render_key(3)
+    params = dmodel.DenoiserParams(jbf_half_size=16)
+
+    out = {}
+    # Noisy: the raw (clamped) 1-SPP G-buffer color of the last frame.
+    g = dmodel.render_gbuffer(scene, cam, cfg, key, n_frames - 1, True)
+    out["denoiser_noisy_1spp"] = (_u8(g.color, gamma=1.0), dict(spp=1))
+
+    for tag, p in [("denoiser_denoised", params),
+                   ("denoiser_denoised_noclamp",
+                    params.replace(immediate_clamping=False))]:
+        prev = None
+        for i in range(n_frames):
+            color, prev = dmodel.render_frame(scene, cam, cfg, key, i,
+                                              prev, p)
+        out[tag] = (_u8(color, gamma=1.0), dict(spp=1, frames=n_frames,
+                                     jbf=p.jbf_half_size,
+                                     clamp=p.immediate_clamping))
+    return out
+
+
+# --------------------------------------------------------------------------
+
+def make_test_tier(manifest, only=None):
+    def want(name):
+        return only is None or only in name
+
+    if want("offline"):
+        u8, m = offline_rtiow(200, 112, 16)
+        _save("test", "offline_rtiow", u8, m, manifest, ppm=True)
+    if want("nppt"):
+        u8, m = nppt(128, 128, 16)
+        _save("test", "nppt", u8, m, manifest)
+    if want("whitted"):
+        u8, m = whitted(128, 128)
+        _save("test", "whitted", u8, m, manifest)
+    if want("mesh"):
+        u8, m = bunny_teapot(160, 96, method="auto")
+        _save("test", "bunny_teapot", u8, m, manifest)
+    if want("mc"):
+        u8, m = mc_cornell(128, 128, 64, 0.8, chunk_spp=64)
+        _save("test", "mc_cornell", u8, m, manifest)
+    if want("denoiser"):
+        for name, (u8, m) in denoiser_triple(128, 128, n_frames=4).items():
+            _save("test", name, u8, m, manifest)
+
+
+def make_showcase_tier(manifest, only=None):
+    def want(name):
+        return only is None or only in name
+
+    w, h = 883, 900  # the reference viewport (BASELINE.md / imgui.ini)
+    if want("offline"):
+        u8, m = offline_rtiow(400, 225, 100)  # main.cpp:78-87 exact config
+        _save("showcase", "offline_rtiow_400x225_100spp", u8, m, manifest,
+              ppm=True)
+    if want("nppt"):
+        u8, m = nppt(883, 824, 256)  # NPPT png viewport is 883x824
+        _save("showcase", "nppt_256spp", u8, m, manifest)
+    if want("whitted"):
+        u8, m = whitted(w, h)
+        _save("showcase", "whitted", u8, m, manifest)
+    if want("mesh"):
+        u8, m = bunny_teapot(w, h)
+        _save("showcase", "bunny_teapot", u8, m, manifest)
+    if want("mc"):
+        u8, m = mc_cornell(w, h, 1024, 0.8)
+        _save("showcase", "mc_cornell_1024spp", u8, m, manifest)
+        for rr in (0.5, 0.8, 0.9):
+            u8, m = mc_cornell(w, h, 300, rr, chunk_spp=50)
+            _save("showcase", f"mc_cornell_rr{int(rr * 100)}_300spp",
+                  u8, m, manifest)
+    if want("denoiser"):
+        for name, (u8, m) in denoiser_triple(w, h).items():
+            _save("showcase", name, u8, m, manifest)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--tier", choices=["test", "showcase", "all"],
+                    default="test")
+    ap.add_argument("--only", default=None, help="substring filter")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend")
+    args = ap.parse_args()
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    _imports()
+    print("backend:", jax.default_backend(), flush=True)
+
+    for tier in (["test", "showcase"] if args.tier == "all" else [args.tier]):
+        mpath = os.path.join(GOLDEN_DIR, tier, "MANIFEST.json")
+        manifest = {}
+        if os.path.isfile(mpath):
+            with open(mpath) as f:
+                manifest = json.load(f)
+        t0 = time.time()
+        (make_test_tier if tier == "test" else make_showcase_tier)(
+            manifest, args.only)
+        manifest["_backend"] = jax.default_backend()
+        with open(mpath, "w") as f:
+            json.dump(manifest, f, indent=1, sort_keys=True)
+        print(f"{tier} tier done in {time.time() - t0:.0f}s", flush=True)
+
+
+if __name__ == "__main__":
+    main()
