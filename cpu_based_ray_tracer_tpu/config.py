@@ -33,6 +33,10 @@ class RenderConfig:
     # Monte Carlo stage:
     rr_survival: float = 0.8  # Monte Carlo .../Renderer.h:199 (UI: 0.5/0.8/0.9)
     shadow_tolerance: float = 1e-2  # Renderer.cpp:186 "+ 0.01f"
+    # Differentiable visibility: 0 = the reference's hard shadow test; > 0 =
+    # sigmoid-relaxed NEE visibility with this temperature (world units) so
+    # occluder-geometry gradients flow through the shadow term.
+    soft_shadow_beta: float = 0.0
     # Whitted stage:
     whitted_depth: int = 5      # World.h:54 max_bounce_depth
     # Engine knobs (no analogue in the reference):

@@ -102,15 +102,27 @@ def _bounce_step(scene: Scene, cfg: RenderConfig, *, seed, pixel, sample,
     dist = jnp.squeeze(vec.norm(to_l), -1)
     wi_l = to_l / jnp.maximum(dist, 1e-20)[:, None]
     ln = jnp.where(vec.dot(ls.normal, -wi_l) < 0.0, -ls.normal, ls.normal)
-    occ_t = nearest_t_fn(scene, p, wi_l, cfg.t_min)
-    visible = dist < occ_t + cfg.shadow_tolerance  # Renderer.cpp:186
+    if cfg.soft_shadow_beta > 0.0:
+        # Differentiable-visibility estimator (SURVEY §7 hard part (c)):
+        # edge-relaxed per-occluder coverage — smooth in occluder geometry
+        # exactly at penumbra boundaries, where the binary test's gradient
+        # is zero/undefined.  Biased over a ~beta-wide edge band; beta -> 0
+        # recovers the reference's hard test.
+        vis_w = intersect.soft_visibility(scene, p, wi_l, dist, cfg.t_min,
+                                          cfg.soft_shadow_beta,
+                                          cfg.shadow_tolerance)
+    else:
+        occ_t = nearest_t_fn(scene, p, wi_l, cfg.t_min)
+        visible = dist < occ_t + cfg.shadow_tolerance  # Renderer.cpp:186
+        vis_w = visible.astype(jnp.float32)
     n_shadow = jnp.sum(alive)                      # shadow rays
     cos_s = jnp.sum(wi_l * n, -1)
     cos_l = jnp.sum(-wi_l * ln, -1)
     geom = cos_s * cos_l / jnp.maximum(dist * dist, 1e-20)
     direct = (ls.emission * _brdf_diffuse(albedo, cos_s)
-              * (geom / jnp.maximum(ls.pdf, 1e-20))[:, None])
-    use = alive & visible & ls.valid
+              * (geom / jnp.maximum(ls.pdf, 1e-20))[:, None]
+              * vis_w[:, None])
+    use = alive & ls.valid
     radiance = radiance + jnp.where(use[:, None], throughput * direct, 0.0)
 
     # --- Indirect: RR then uniform hemisphere (Renderer.cpp:191-208).

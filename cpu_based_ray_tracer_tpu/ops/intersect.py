@@ -83,7 +83,9 @@ def intersect_spheres(origin, direction, centers, radii, t_min, t_max):
     c = jnp.sum(oc * oc, -1) - (radii * radii)[None, :]      # (R, S)
     disc = half_b * half_b - a * c
     ok = disc > 0.0
-    sq = jnp.sqrt(jnp.where(ok, disc, 0.0))
+    # where(ok, disc, 1): sqrt'(0) = inf would NaN the backward pass on
+    # masked lanes (0 cotangent x inf); the substitute value is never read.
+    sq = jnp.sqrt(jnp.where(ok, disc, 1.0))
     t_near = (-half_b - sq) / a
     t_far = (-half_b + sq) / a
     near_ok = ok & (t_near > t_min) & (t_near < t_max)
@@ -108,7 +110,11 @@ def triangle_t_matrix(origin, direction, v0, e1, e2, t_min, t_max):
     s1y = dz * e2x - dx * e2z
     s1z = dx * e2y - dy * e2x
     det = _dot3(s1x, s1y, s1z, e1x, e1y, e1z)                # (R, N)
-    inv_det = jnp.where(jnp.abs(det) > _DET_EPS, 1.0 / det, 0.0)
+    ok_det = jnp.abs(det) > _DET_EPS
+    # Substitute det=1 on degenerate lanes BEFORE dividing: grad(1/det) at
+    # det ~ 0 is -1/det^2 ~ inf, and 0-cotangent x inf = NaN in the backward
+    # pass even though the forward where() masks it.
+    inv_det = jnp.where(ok_det, 1.0 / jnp.where(ok_det, det, 1.0), 0.0)
     # s = o - v0
     sx, sy, sz = ox - v0x, oy - v0y, oz - v0z
     # s2 = s x e1
@@ -129,7 +135,8 @@ def moller_trumbore_single(origin, direction, v0, e1, e2):
     at the winning index (attached shading)."""
     s1 = jnp.cross(direction, e2)
     det = jnp.sum(s1 * e1, -1)
-    inv_det = jnp.where(jnp.abs(det) > _DET_EPS, 1.0 / det, 0.0)
+    ok_det = jnp.abs(det) > _DET_EPS
+    inv_det = jnp.where(ok_det, 1.0 / jnp.where(ok_det, det, 1.0), 0.0)
     s = origin - v0
     s2 = jnp.cross(s, e1)
     t = jnp.sum(s2 * e2, -1) * inv_det
@@ -190,7 +197,10 @@ def assemble_hit(scene: Scene, origin, direction, tt, best_t,
     hit = t < NO_HIT_T
     prim = jnp.where(is_tri, best_t, best_s)
 
-    point = origin + t[:, None] * direction
+    # Miss lanes keep t = NO_HIT_T in the record, but the POINT is computed
+    # with t = 1 there: o + 3.4e38 * d overflows downstream squares to inf
+    # and NaNs the backward pass (consumers always mask misses anyway).
+    point = origin + jnp.where(hit, t, 1.0)[:, None] * direction
 
     # --- Recompute attributes from the winning primitive (O(R)). ---
     # All per-winner lookups go through ONE one-hot contraction per primitive
@@ -242,6 +252,73 @@ def nearest_t(scene: Scene, origin, direction,
     ts = jnp.min(intersect_spheres(origin, direction, sp.center, sp.radius,
                                    t_min, t_max), -1)
     return jnp.minimum(tt, ts)
+
+
+def soft_visibility(scene: Scene, origin, direction, max_dist,
+                    t_min: float, beta: float,
+                    tolerance: float = 0.01) -> jax.Array:
+    """Differentiable shadow-ray visibility in [0, 1] (R,).
+
+    The binary test (``occluded``) is a step function of occluder GEOMETRY:
+    its gradient is zero a.e. and undefined exactly at penumbra boundaries —
+    the one place inverse rendering needs it (SURVEY §7 hard part (c)).
+    Here each potential occluder contributes a *soft* coverage instead:
+
+    - triangles: coverage = sigmoid(margin / beta) where margin is the
+      world-space distance of the ray's plane-intersection point to the
+      triangle's nearest edge (barycentric margin x the triangle's height
+      scale sqrt(2A)) — smooth in the vertices, so silhouette motion
+      produces real gradients;
+    - spheres: coverage = sigmoid((radius - impact_parameter) / beta);
+    - coverage counts only within the occlusion window
+      ``t in (t_min, max_dist - tolerance)`` (the reference's +tolerance
+      keeps the light from shadowing its own sample, Renderer.cpp:183-186);
+    - total visibility = prod(1 - coverage) over all primitives.
+
+    beta -> 0 recovers the binary test (up to the measure-zero edge set).
+    O(R x N) like the brute-force intersector — the differentiable-mode
+    estimator for reference-scale scenes, not the production shadow path.
+    """
+    tr, sp = scene.triangles, scene.spheres
+    ox, oy, oz = origin[:, 0:1], origin[:, 1:2], origin[:, 2:3]
+    dx, dy, dz = direction[:, 0:1], direction[:, 1:2], direction[:, 2:3]
+    e1x, e1y, e1z = tr.e1[None, :, 0], tr.e1[None, :, 1], tr.e1[None, :, 2]
+    e2x, e2y, e2z = tr.e2[None, :, 0], tr.e2[None, :, 1], tr.e2[None, :, 2]
+    v0x, v0y, v0z = tr.v0[None, :, 0], tr.v0[None, :, 1], tr.v0[None, :, 2]
+
+    s1x = dy * e2z - dz * e2y
+    s1y = dz * e2x - dx * e2z
+    s1z = dx * e2y - dy * e2x
+    det = _dot3(s1x, s1y, s1z, e1x, e1y, e1z)
+    ok_det = jnp.abs(det) > _DET_EPS
+    inv_det = jnp.where(ok_det, 1.0 / jnp.where(ok_det, det, 1.0), 0.0)
+    sx, sy, sz = ox - v0x, oy - v0y, oz - v0z
+    s2x = sy * e1z - sz * e1y
+    s2y = sz * e1x - sx * e1z
+    s2z = sx * e1y - sy * e1x
+    t = _dot3(s2x, s2y, s2z, e2x, e2y, e2z) * inv_det
+    b1 = _dot3(s1x, s1y, s1z, sx, sy, sz) * inv_det
+    b2 = _dot3(s2x, s2y, s2z, dx, dy, dz) * inv_det
+
+    in_window = (ok_det & (t > t_min)
+                 & (t < max_dist[:, None] - tolerance))       # (R, N)
+    bary_margin = jnp.minimum(jnp.minimum(b1, b2), 1.0 - b1 - b2)
+    height_scale = jnp.sqrt(jnp.maximum(2.0 * tr.area, 1e-12))[None, :]
+    margin = bary_margin * height_scale                        # ~world units
+    cover_t = jax.nn.sigmoid(jnp.clip(margin / beta, -30.0, 30.0))
+    cover_t = jnp.where(in_window, cover_t, 0.0)
+
+    oc = sp.center[None, :, :] - origin[:, None, :]            # (R, S, 3)
+    proj = jnp.sum(oc * direction[:, None, :], -1)             # (R, S)
+    d2 = jnp.maximum(jnp.sum(oc * oc, -1) - proj * proj, 1e-12)
+    impact = jnp.sqrt(d2)
+    r_abs = jnp.abs(sp.radius)[None, :]
+    in_win_s = ((proj > t_min) & (proj < max_dist[:, None] - tolerance)
+                & (r_abs > 0.0))
+    cover_s = jax.nn.sigmoid(jnp.clip((r_abs - impact) / beta, -30.0, 30.0))
+    cover_s = jnp.where(in_win_s, cover_s, 0.0)
+
+    return (jnp.prod(1.0 - cover_t, -1) * jnp.prod(1.0 - cover_s, -1))
 
 
 def occluded(scene: Scene, origin, direction, max_dist,

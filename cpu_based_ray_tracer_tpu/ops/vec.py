@@ -24,9 +24,13 @@ def norm(a):
 
 def normalize(a, eps: float = 0.0):
     """Zero-safe normalize (reference ``VectorFloat.h:17-31`` guards the zero
-    vector; we divide by max(|a|, tiny))."""
-    n = norm(a)
-    return a / jnp.maximum(n, jnp.asarray(max(eps, 1e-20), a.dtype))
+    vector).  The clamp sits under the sqrt so the BACKWARD pass is also
+    safe: sqrt'(0) is inf, and a masked lane's 0 cotangent times inf would
+    poison gradients with NaN (geometry/camera grads, BASELINE metric)."""
+    e = max(eps, 1e-12)
+    n2 = jnp.maximum(jnp.sum(a * a, axis=-1, keepdims=True),
+                     jnp.asarray(e * e, a.dtype))
+    return a / jnp.sqrt(n2)
 
 
 def lerp(a, b, t):
