@@ -339,13 +339,23 @@ class WavefrontState:
     nrays: jax.Array    # () i32 honest traced-ray counter
 
 
-def wavefront_init(scene: Scene, camera, cfg: RenderConfig, key
+def wavefront_init(scene: Scene, camera, cfg: RenderConfig, key,
+                   pixel_offset=0, n_lanes: int | None = None
                    ) -> WavefrontState:
-    """Fresh lane state: every lane on its pixel's sample 0 primary ray."""
+    """Fresh lane state: every lane on its pixel's sample 0 primary ray.
+
+    ``pixel_offset``/``n_lanes`` select a row-major slab of the image's
+    lanes — the device-local body of the *sharded* stepper.  ``pixel_offset``
+    may be traced (``axis_index * lanes_per_device`` inside ``shard_map``);
+    because the RNG counter is the absolute pixel index, slab lane states
+    compose into exactly the unsharded state.
+    """
     h, w = cfg.height, cfg.width
     seed = rng.seed_from_key(key)
-    n_lanes = h * w
-    pixel = jnp.arange(n_lanes, dtype=jnp.uint32)
+    if n_lanes is None:
+        n_lanes = h * w
+    pixel = (jnp.arange(n_lanes, dtype=jnp.uint32)
+             + jnp.asarray(pixel_offset, jnp.uint32))
     s0 = jnp.zeros((n_lanes,), jnp.int32)
     uj = rng.uniforms4(seed, pixel, s0, 0, rng.JITTER)
     d = cam_mod.perspective_ray_at(camera, w, h, pixel, uj[0], uj[1])
@@ -359,12 +369,18 @@ def wavefront_init(scene: Scene, camera, cfg: RenderConfig, key
 
 def wavefront_steps(scene: Scene, camera, cfg: RenderConfig, key,
                     state: WavefrontState, n_steps: int,
-                    intersect_fn=None, nearest_t_fn=None) -> WavefrontState:
-    """Advance every lane by ``n_steps`` bounce steps (jit-friendly scan)."""
+                    intersect_fn=None, nearest_t_fn=None,
+                    pixel_offset=0) -> WavefrontState:
+    """Advance every lane by ``n_steps`` bounce steps (jit-friendly scan).
+
+    ``pixel_offset``: absolute index of the state's first lane (see
+    ``wavefront_init``) — lets ``shard_map`` step per-device slab states."""
     h, w = cfg.height, cfg.width
     seed = rng.seed_from_key(key)
-    pixel = jnp.arange(h * w, dtype=jnp.uint32)
-    alive = jnp.ones((h * w,), bool)
+    n_lanes = state.s.shape[0]
+    pixel = (jnp.arange(n_lanes, dtype=jnp.uint32)
+             + jnp.asarray(pixel_offset, jnp.uint32))
+    alive = jnp.ones((n_lanes,), bool)
 
     def step(st: WavefrontState, _):
         delta, o2, d2, tp2, continues, n_main, n_shadow = _bounce_step(

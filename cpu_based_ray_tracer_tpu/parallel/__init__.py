@@ -12,4 +12,5 @@ during the backward pass.
 from cpu_based_ray_tracer_tpu.parallel.mesh import (  # noqa: F401
     make_mesh, replicated, row_sharded)
 from cpu_based_ray_tracer_tpu.parallel.shard import (  # noqa: F401
-    render_sharded, render_tiles)
+    render_sharded, render_tiles, wavefront_init_sharded,
+    wavefront_steps_sharded)
