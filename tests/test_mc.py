@@ -174,3 +174,19 @@ def test_emission_gradient():
     assert np.isfinite(g).all()
     # Brightening the light brightens the image.
     assert g[3].sum() > 0
+
+
+def test_depth_truncation_bias_negligible():
+    """Validates the documented truncation claim (monte_carlo.py module doc):
+    the residual path mass beyond cfg.max_depth=16 carries negligible ENERGY.
+    Same seed => identical paths up to the cap, so the depth-28 render minus
+    the depth-16 render IS the truncated tail's contribution."""
+    scene, cam = cornell.cornell_scene(), cornell.cornell_camera()
+    key = rng.render_key(7)
+    base = RenderConfig(width=24, height=24, spp=32, rr_survival=0.8)
+    img16 = np.asarray(monte_carlo.render(scene, cam,
+                                          base.replace(max_depth=16), key))
+    img28 = np.asarray(monte_carlo.render(scene, cam,
+                                          base.replace(max_depth=28), key))
+    rel = np.abs(img28 - img16).mean() / max(img28.mean(), 1e-9)
+    assert rel < 0.005, f"depth-16 truncation loses {rel:.2%} of energy"

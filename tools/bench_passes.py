@@ -90,6 +90,24 @@ def main():
             "lanes": h * w}
         print("mc:", P["mc_wavefront"], flush=True)
 
+        # Equal-spp engine (goldens/gradients semantics): exactly cfg.spp
+        # samples per pixel, tail and all — the honest apples-to-apples
+        # number next to the free-running stepper above.
+        eq = jax.jit(lambda acc, s: monte_carlo.render_wavefront(
+            scene, cam, cfg, key, acc, s, return_rays=True))
+        acc0 = jnp.zeros((h, w, 3), jnp.float32)
+        _, _, nr = eq(acc0, 0)
+        jax.block_until_ready(nr)
+        t0 = time.perf_counter()
+        _, _, nr = eq(acc0, 0)
+        jax.block_until_ready(nr)
+        dt = time.perf_counter() - t0
+        P["mc_equal_spp"] = {
+            "seconds": dt, "rays_per_s": int(np.asarray(nr)) / dt,
+            "spp": cfg.spp,
+            "spp_per_s": cfg.spp / dt}
+        print("mc equal-spp:", P["mc_equal_spp"], flush=True)
+
     if "whitted" in want:
         scene, cam = (whitted_scene.whitted_scene(),
                       whitted_scene.whitted_camera())
