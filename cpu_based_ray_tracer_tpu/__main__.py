@@ -106,11 +106,15 @@ def cmd_render(args):
     import jax.numpy as jnp
     import numpy as np
     from cpu_based_ray_tracer_tpu.config import RenderConfig
+    from cpu_based_ray_tracer_tpu.utils import profiling
     from cpu_based_ray_tracer_tpu.utils import rng, checkpoint as ckpt
 
     cfg = RenderConfig(width=args.width, height=args.height, spp=args.spp,
                        max_depth=args.depth, rr_survival=args.rr)
     key = rng.render_key(args.seed)
+    log = profiling.RunLog(args.runlog)
+    log.emit("render_start", stage=args.stage, config=dataclasses.asdict(cfg),
+             seed=args.seed, backend=jax.default_backend())
 
     if args.checkpoint and args.stage == "mc":
         # Long-run progressive MC with interrupt/resume (SURVEY §5
@@ -124,7 +128,14 @@ def cmd_render(args):
         acc = jnp.zeros((cfg.height, cfg.width, 3), jnp.float32)
         done = 0
         if os.path.exists(args.checkpoint):
-            acc, done, _ = ckpt.load_render_state(args.checkpoint, chunk)
+            acc, done, saved_seed = ckpt.load_render_state(args.checkpoint,
+                                                           chunk)
+            if int(np.asarray(saved_seed)) != int(np.asarray(seed)):
+                raise SystemExit(
+                    f"checkpoint {args.checkpoint} was accumulated with seed "
+                    f"{int(np.asarray(saved_seed))}, not --seed {args.seed} — "
+                    "mixing RNG streams in one accumulator would bias the "
+                    "image; pass the original seed (or a fresh path)")
             print(f"resumed at {done}/{cfg.spp} spp")
         step = jax.jit(lambda a, s: monte_carlo.render_wavefront(
             scene, cam, chunk, key, a, s))
@@ -133,16 +144,25 @@ def cmd_render(args):
             acc, done = step(acc, done)
             done = int(done)
             ckpt.save_render_state(args.checkpoint, acc, done, seed, chunk)
+            log.emit("mc_chunk", spp_done=done, spp_target=cfg.spp,
+                     seconds=time.time() - t0)
             print(f"{done}/{cfg.spp} spp ({time.time() - t0:.0f}s)",
                   flush=True)
-        img, gamma = np.asarray(acc) / cfg.spp, 1.0
+        # Normalize by the sample count actually accumulated: chunks advance
+        # in steps of checkpoint-every, so `done` may exceed cfg.spp (e.g.
+        # --spp 50 --checkpoint-every 32 accumulates 64) and a resumed state
+        # may already be past the target — dividing by cfg.spp would brighten
+        # the image by done/spp.
+        img, gamma = np.asarray(acc) / max(done, 1), 1.0
     else:
         t0 = time.time()
         img, gamma = _render_stage(args.stage, cfg, key)
         jax.block_until_ready(img)
         print(f"rendered {args.stage} in {time.time() - t0:.1f}s")
+        log.emit("render_done", stage=args.stage, seconds=time.time() - t0)
 
     _write(args.out, _u8(img, gamma))
+    log.close()
 
 
 def cmd_sweep(args):
@@ -255,6 +275,9 @@ def main(argv=None):
                    help="npz path: MC renders resume from it if present")
     r.add_argument("--checkpoint-every", type=int, default=32,
                    help="spp per checkpointed chunk")
+    r.add_argument("--runlog", default=None,
+                   help="append structured JSON-lines run records here "
+                        "(default: print them)")
     r.set_defaults(fn=cmd_render)
 
     s = sub.add_parser("sweep", help="denoiser parameter-matrix sweep")

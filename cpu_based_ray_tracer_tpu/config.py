@@ -41,7 +41,6 @@ class RenderConfig:
     whitted_depth: int = 5      # World.h:54 max_bounce_depth
     # Engine knobs (no analogue in the reference):
     ray_chunk: int = 0   # 0 = whole image at once; else rays per chunk
-    regenerate: bool = False  # wavefront lane-refill (perf; estimator-neutral)
 
     def replace(self, **kw) -> "RenderConfig":
         return dataclasses.replace(self, **kw)

@@ -125,9 +125,10 @@ def joint_bilateral_atrous(g: GBuffer, half_size: int, clamp: bool = True,
     The reference's dense window is O(K^2) taps per pixel (its own README
     calls it "too brutal", README.md:132).  This is the standard fast
     replacement (à-trous wavelet, Dammertz et al. 2010): L iterations of a
-    5x5 kernel whose taps are dilated by 2^i, footprint radius 2*(2^L - 1),
-    so K=65 (k=32) costs 4 iterations x 25 taps = 100 full-frame passes
-    instead of 4,225.  Guidance terms, contributor skipping, center-tap and
+    5x5 kernel whose taps are dilated by 2^i, footprint radius 2*(2^L - 1);
+    the stopping rule picks the smallest L whose footprint covers half_size,
+    so k=32 runs L=5 iterations x 25 taps = 125 full-frame passes (footprint
+    radius 62) instead of the dense filter's 4,225.  Guidance terms, contributor skipping, center-tap and
     pass-through semantics match ``joint_bilateral`` exactly; each iteration
     filters the previous iteration's color (color guidance updates with it,
     as in the original algorithm), so the result is an approximation of —

@@ -116,8 +116,10 @@ def triangle_t_matrix(origin, direction, v0, e1, e2, t_min, t_max):
     ok_det = jnp.abs(det) > _DET_EPS
     # Substitute det=1 on degenerate lanes BEFORE dividing: grad(1/det) at
     # det ~ 0 is -1/det^2 ~ inf, and 0-cotangent x inf = NaN in the backward
-    # pass even though the forward where() masks it.
-    inv_det = jnp.where(ok_det, 1.0 / jnp.where(ok_det, det, 1.0), 0.0)
+    # pass even though a forward mask would hide it.  No outer where: the
+    # garbage t/b1/b2 on such lanes are discarded by the final `ok` mask, and
+    # this keeps the hot (R, N) producer one select cheaper.
+    inv_det = 1.0 / jnp.where(ok_det, det, 1.0)
     # s = o - v0
     sx, sy, sz = ox - v0x, oy - v0y, oz - v0z
     # s2 = s x e1
@@ -127,7 +129,7 @@ def triangle_t_matrix(origin, direction, v0, e1, e2, t_min, t_max):
     t = _dot3(s2x, s2y, s2z, e2x, e2y, e2z) * inv_det
     b1 = _dot3(s1x, s1y, s1z, sx, sy, sz) * inv_det
     b2 = _dot3(s2x, s2y, s2z, dx, dy, dz) * inv_det
-    ok = ((jnp.abs(det) > _DET_EPS) & (t > t_min) & (t < t_max)
+    ok = (ok_det & (t > t_min) & (t < t_max)
           & (b1 >= 0.0) & (b2 >= 0.0) & (1.0 - b1 - b2 >= 0.0))
     return jnp.where(ok, t, NO_HIT_T)
 
@@ -139,26 +141,13 @@ def moller_trumbore_single(origin, direction, v0, e1, e2):
     s1 = jnp.cross(direction, e2)
     det = jnp.sum(s1 * e1, -1)
     ok_det = jnp.abs(det) > _DET_EPS
-    inv_det = jnp.where(ok_det, 1.0 / jnp.where(ok_det, det, 1.0), 0.0)
+    inv_det = 1.0 / jnp.where(ok_det, det, 1.0)  # callers mask degenerates
     s = origin - v0
     s2 = jnp.cross(s, e1)
     t = jnp.sum(s2 * e2, -1) * inv_det
     b1 = jnp.sum(s1 * s, -1) * inv_det
     b2 = jnp.sum(s2 * direction, -1) * inv_det
     return t, b1, b2
-
-
-def intersect_triangles(origin, direction, v0, e1, e2, t_min, t_max):
-    """Compatibility wrapper returning (t, b1, b2) matrices (each (R, N));
-    prefer ``triangle_t_matrix`` + recompute in hot paths."""
-    t = triangle_t_matrix(origin, direction, v0, e1, e2, t_min, t_max)
-    tm, b1m, b2m = jax.vmap(
-        lambda o, d: moller_trumbore_single(
-            jnp.broadcast_to(o, v0.shape), jnp.broadcast_to(d, v0.shape),
-            v0, e1, e2),
-    )(origin, direction)
-    del tm
-    return t, b1m, b2m
 
 
 def nearest_triangle(scene: Scene, origin, direction, t_min, t_max):
@@ -294,7 +283,7 @@ def soft_visibility(scene: Scene, origin, direction, max_dist,
     s1z = dx * e2y - dy * e2x
     det = _dot3(s1x, s1y, s1z, e1x, e1y, e1z)
     ok_det = jnp.abs(det) > _DET_EPS
-    inv_det = jnp.where(ok_det, 1.0 / jnp.where(ok_det, det, 1.0), 0.0)
+    inv_det = 1.0 / jnp.where(ok_det, det, 1.0)  # in_window masks degenerates
     sx, sy, sz = ox - v0x, oy - v0y, oz - v0z
     s2x = sy * e1z - sz * e1y
     s2y = sz * e1x - sx * e1z

@@ -46,9 +46,16 @@ def initialize(coordinator_address: str | None = None,
     """
     # NB: must not touch the backend before distributed.initialize — even
     # jax.default_backend()/jax.devices() would initialize XLA and fail it.
+    # Gloo is needed whenever the CPU backend will serve the collectives:
+    # either explicitly requested, or (platforms unset) when the caller is
+    # running the explicit-argument multi-process simulation — on a real
+    # accelerator pod all arguments are auto-detected, so explicit args +
+    # unset platforms means the CPU path.  Setting the CPU collectives
+    # implementation is harmless if an accelerator is present.
     platforms = (jax.config.jax_platforms
                  or os.environ.get("JAX_PLATFORMS", ""))
-    if str(platforms).startswith("cpu"):
+    explicit = coordinator_address is not None
+    if str(platforms).startswith("cpu") or (not platforms and explicit):
         jax.config.update("jax_cpu_collectives_implementation", "gloo")
     jax.distributed.initialize(coordinator_address=coordinator_address,
                                num_processes=num_processes,

@@ -41,11 +41,11 @@ def test_triangle_hit_barycentric():
     tr = make_triangles(v, np.array([0]))
     o = jnp.array([[0.2, 0.3, 0.0]])
     d = jnp.array([[0.0, 0.0, -1.0]])
-    t, b1, b2 = intersect.intersect_triangles(o, d, tr.v0, tr.e1, tr.e2,
-                                              1e-3, jnp.inf)
+    t = intersect.triangle_t_matrix(o, d, tr.v0, tr.e1, tr.e2, 1e-3, jnp.inf)
+    _, b1, b2 = intersect.moller_trumbore_single(o, d, tr.v0, tr.e1, tr.e2)
     np.testing.assert_allclose(np.asarray(t)[0, 0], 1.0, rtol=1e-6)
-    np.testing.assert_allclose(np.asarray(b1)[0, 0], 0.2, atol=1e-6)
-    np.testing.assert_allclose(np.asarray(b2)[0, 0], 0.3, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(b1)[0], 0.2, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(b2)[0], 0.3, atol=1e-6)
 
 
 def test_triangle_miss_outside():
@@ -53,8 +53,7 @@ def test_triangle_miss_outside():
     tr = make_triangles(v, np.array([0]))
     o = jnp.array([[0.9, 0.9, 0.0]])  # outside the hypotenuse
     d = jnp.array([[0.0, 0.0, -1.0]])
-    t, _, _ = intersect.intersect_triangles(o, d, tr.v0, tr.e1, tr.e2,
-                                            1e-3, jnp.inf)
+    t = intersect.triangle_t_matrix(o, d, tr.v0, tr.e1, tr.e2, 1e-3, jnp.inf)
     assert np.asarray(t)[0, 0] == intersect.NO_HIT_T
 
 
