@@ -1,12 +1,19 @@
 """Headline benchmark: rays/s/chip on the Monte Carlo Cornell box.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-Baseline: the reference CPU renderer sustains ~1e6 rays/s (BASELINE.md —
-300 SPP in ~5 min at the 883x900 viewport on an i9-11980HK).
+Prints one JSON line per measured pass and the HEADLINE LAST:
+{"metric": "rays_per_s_per_chip_mc_cornell", "value": N, "unit": "rays/s",
+ "vs_baseline": N}.  Baseline: the reference CPU renderer sustains ~1e6
+rays/s (BASELINE.md — 300 SPP in ~5 min at the 883x900 viewport on an
+i9-11980HK).
 
-Ray accounting is honest: only lanes alive at each bounce (primary + shadow +
-indirect rays actually contributing to the estimator) are counted, not the
-masked dead lanes.
+Engine under test: the FUSED Pallas persistent-wavefront kernel
+(``ops.fused`` — bounce loop + state resident in VMEM; see PERF.md for the
+roofline).  A secondary line reports the pure-XLA wavefront stepper so an
+engine-level regression cannot hide behind the kernel (and vice versa).
+
+Ray accounting is honest: only lanes alive at each bounce (primary + shadow
++ indirect rays actually contributing to the estimator) are counted via the
+engines' own counters, not the masked dead lanes.
 """
 
 from __future__ import annotations
@@ -17,12 +24,37 @@ import time
 import jax
 import numpy as np
 
-from cpu_based_ray_tracer_tpu.config import RenderConfig
-from cpu_based_ray_tracer_tpu.models import monte_carlo
-from cpu_based_ray_tracer_tpu.scenes import cornell
-from cpu_based_ray_tracer_tpu.utils import rng
+# Persistent compile cache: the XLA wavefront scan takes minutes to compile
+# over the TPU tunnel; repeated bench runs should pay it once.
+jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
+
+from cpu_based_ray_tracer_tpu.config import RenderConfig  # noqa: E402
+from cpu_based_ray_tracer_tpu.models import monte_carlo  # noqa: E402
+from cpu_based_ray_tracer_tpu.ops import fused  # noqa: E402
+from cpu_based_ray_tracer_tpu.scenes import cornell  # noqa: E402
+from cpu_based_ray_tracer_tpu.utils import profiling, rng  # noqa: E402
 
 CPU_BASELINE_RAYS_PER_S = 1.0e6
+
+
+def _throughput(stepper, state, n_steps: int, n_iters: int = 5):
+    """(rays/s, ms/step) of a jitted wavefront stepper."""
+    import dataclasses
+
+    state = stepper(state)
+    jax.block_until_ready(state.acc)          # compile + warm-up
+    # The engines' honest ray counter is i32 (fine per call, ~0.4G rays);
+    # zero it after warm-up so a multi-call timing loop cannot wrap.
+    state = dataclasses.replace(state, nrays=state.nrays * 0)
+    t0 = time.perf_counter()
+    for _ in range(n_iters):
+        state = stepper(state)
+    jax.block_until_ready(state.acc)
+    dt = time.perf_counter() - t0
+    rays = int(np.asarray(state.nrays))
+    if rays < 0:
+        raise RuntimeError("ray counter wrapped; lower n_iters/n_steps")
+    return rays / dt, dt / (n_iters * n_steps) * 1e3
 
 
 def main():
@@ -32,27 +64,30 @@ def main():
     cfg = RenderConfig(width=896, height=896, spp=4, max_depth=16,
                        rr_survival=0.8)
     key = rng.render_key(0)
+    log = profiling.RunLog("bench_runs.jsonl")
+    state0 = monte_carlo.wavefront_init(scene, camera, cfg, key)
 
-    # Persistent wavefront stepper: fixed-step progressive engine, ~100% lane
-    # utilization (each call advances every lane 32 bounce steps; dead paths
-    # regenerate in place).  Ray counts come from the engine's own counter.
-    n_steps = 32
-    stepper = jax.jit(lambda st: monte_carlo.wavefront_steps(
-        scene, camera, cfg, key, st, n_steps))
+    # Secondary: the XLA wavefront engine (differentiable-path twin).  Fewer
+    # steps per call — its per-step cost is ~3.5x the fused kernel's and its
+    # scan compiles slowly over the tunnel.
+    ns_xla = 16
+    xla_stepper = jax.jit(lambda st: monte_carlo.wavefront_steps(
+        scene, camera, cfg, key, st, ns_xla))
+    xla_rays, xla_ms = _throughput(xla_stepper, state0, ns_xla, n_iters=3)
+    print(json.dumps({"metric": "mc_cornell_xla_wavefront", "value": xla_rays,
+                      "unit": "rays/s", "ms_per_step": round(xla_ms, 4)}))
 
-    state = monte_carlo.wavefront_init(scene, camera, cfg, key)
-    state = stepper(state)
-    jax.block_until_ready(state.acc)  # compile + warm-up
-    rays0 = int(np.asarray(state.nrays))
-
-    n_iters = 5
-    t0 = time.perf_counter()
-    for _ in range(n_iters):
-        state = stepper(state)
-    jax.block_until_ready(state.acc)
-    dt = time.perf_counter() - t0
-
-    rays_per_s = (int(np.asarray(state.nrays)) - rays0) / dt
+    # Headline: fused Pallas persistent-wavefront kernel.
+    fs = fused.pack_scene(scene)
+    n_steps = 256
+    stepper = jax.jit(lambda st: fused.wavefront_steps_fused(
+        fs, camera, cfg, key, st, n_steps))
+    rays_per_s, ms = _throughput(stepper, state0, n_steps, n_iters=4)
+    log.emit("bench", metric="rays_per_s_per_chip_mc_cornell",
+             value=rays_per_s, ms_per_step=ms, xla_rays_per_s=xla_rays,
+             backend=jax.default_backend())
+    print(json.dumps({"metric": "mc_cornell_fused_ms_per_step",
+                      "value": round(ms, 4), "unit": "ms"}))
     print(json.dumps({
         "metric": "rays_per_s_per_chip_mc_cornell",
         "value": rays_per_s,

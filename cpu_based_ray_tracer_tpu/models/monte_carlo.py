@@ -32,6 +32,8 @@ the continuous part of the estimator.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -412,6 +414,30 @@ def wavefront_image(state: WavefrontState, cfg: RenderConfig) -> jax.Array:
     """Mean linear radiance over each pixel's completed samples, (H, W, 3)."""
     n = jnp.maximum(state.n_done, 1).astype(jnp.float32)
     return (state.acc / n[:, None]).reshape(cfg.height, cfg.width, 3)
+
+
+def render_turbo(scene: Scene, camera, cfg: RenderConfig, key,
+                 min_spp: int | None = None) -> jax.Array:
+    """Mean linear radiance via the FUSED Pallas persistent-wavefront kernel
+    (``ops.fused`` — the peak-throughput engine, ~3.3x the XLA stepper on
+    v5e).  Equal-*time* progressive semantics: steps until every pixel has
+    completed at least ``min_spp`` (default ``cfg.spp``) samples, then
+    averages each pixel's completed samples (some pixels will have more —
+    the per-pixel mean stays the reference estimator).  Forward-only."""
+    from cpu_based_ray_tracer_tpu.ops import fused
+
+    target = cfg.spp if min_spp is None else min_spp
+    fs = fused.pack_scene(scene)
+    state = wavefront_init(scene, camera, cfg, key)
+    # Expected steps per sample ~ E[path len] + 1; run in chunks and check.
+    chunk = max(32, cfg.max_depth)
+    stepper = jax.jit(lambda st: fused.wavefront_steps_fused(
+        fs, camera, cfg, key, st, chunk))
+    for _ in range(target * cfg.max_depth):
+        state = stepper(state)
+        if int(jnp.min(state.n_done)) >= target:
+            break
+    return wavefront_image(state, cfg)
 
 
 def count_rays(scene: Scene, camera, cfg: RenderConfig, key) -> jax.Array:

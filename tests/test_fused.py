@@ -1,0 +1,105 @@
+"""Parity gates: the fused Pallas wavefront kernel vs the XLA stepper.
+
+The fused kernel (``ops.fused``) re-implements ``monte_carlo._bounce_step``
++ ``wavefront_steps`` inside one Pallas program.  Because both consume the
+same counter-based pcg4d streams, every *decision* (hit, RR coin, sample
+advance) must agree lane-for-lane: the integer state (sample index, bounce
+index, completed-sample count) and the honest ray counter are compared
+EXACTLY; float state only differs by fp reassociation.
+
+Runs on the CPU backend through the Pallas interpreter (``interpret=True``
+is the kernel's off-TPU default) — same kernel semantics, no TPU needed.
+"""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from cpu_based_ray_tracer_tpu.config import RenderConfig
+from cpu_based_ray_tracer_tpu.models import monte_carlo as mc
+from cpu_based_ray_tracer_tpu.ops import fused
+from cpu_based_ray_tracer_tpu.scenes import cornell
+from cpu_based_ray_tracer_tpu.utils import rng
+
+
+def _parity(cfg: RenderConfig, n_steps: int, seed: int = 7):
+    scene = cornell.cornell_scene()
+    cam = cornell.cornell_camera()
+    key = rng.render_key(seed)
+    fs = fused.pack_scene(scene)
+    st0 = mc.wavefront_init(scene, cam, cfg, key)
+    ref = mc.wavefront_steps(scene, cam, cfg, key, st0, n_steps)
+    got = fused.wavefront_steps_fused(fs, cam, cfg, key, st0, n_steps)
+    for name in ("s", "b", "n_done"):
+        a = np.asarray(getattr(ref, name))
+        b = np.asarray(getattr(got, name))
+        np.testing.assert_array_equal(a, b, err_msg=f"integer state {name}")
+    assert int(ref.nrays) == int(got.nrays)
+    for name in ("tp", "cur", "acc"):
+        a = np.asarray(getattr(ref, name))
+        b = np.asarray(getattr(got, name))
+        np.testing.assert_allclose(a, b, rtol=2e-3, atol=2e-3,
+                                   err_msg=f"float state {name}")
+    return ref, got
+
+
+def test_fused_parity_cornell():
+    cfg = RenderConfig(width=48, height=48, spp=4, max_depth=4,
+                       rr_survival=0.8)
+    _parity(cfg, n_steps=6)
+
+
+def test_fused_parity_padded_lanes():
+    # 41x37 = 1517 lanes — not a multiple of the 4096-lane tile: the wrapper
+    # pads with out-of-range pixels whose lanes must not perturb counters.
+    cfg = RenderConfig(width=41, height=37, spp=2, max_depth=3,
+                       rr_survival=0.5)
+    ref, got = _parity(cfg, n_steps=4)
+    assert int(got.nrays) > 0
+
+
+def test_fused_image_converges_like_xla():
+    # Equal-step runs of both engines produce the same progressive image.
+    scene = cornell.cornell_scene()
+    cam = cornell.cornell_camera()
+    cfg = RenderConfig(width=32, height=32, spp=4, max_depth=6,
+                       rr_survival=0.8)
+    key = rng.render_key(3)
+    fs = fused.pack_scene(scene)
+    st = mc.wavefront_init(scene, cam, cfg, key)
+    st_x = mc.wavefront_steps(scene, cam, cfg, key, st, 12)
+    st_f = fused.wavefront_steps_fused(fs, cam, cfg, key, st, 12)
+    np.testing.assert_array_equal(np.asarray(st_x.n_done),
+                                  np.asarray(st_f.n_done))
+    a = np.asarray(mc.wavefront_image(st_x, cfg))
+    b = np.asarray(mc.wavefront_image(st_f, cfg))
+    np.testing.assert_allclose(a, b, rtol=2e-3, atol=2e-3)
+
+
+def test_fused_rejects_soft_shadow_mode():
+    scene = cornell.cornell_scene()
+    cam = cornell.cornell_camera()
+    cfg = RenderConfig(width=32, height=32, soft_shadow_beta=0.05)
+    key = rng.render_key(0)
+    fs = fused.pack_scene(scene)
+    st = mc.wavefront_init(scene, cam, cfg, key)
+    with pytest.raises(NotImplementedError):
+        fused.wavefront_steps_fused(fs, cam, cfg, key, st, 1)
+
+
+def test_pack_scene_light_subset_matches_sampler():
+    # The packed emissive CDF/total must equal the full-N masked cumsum the
+    # XLA sampler uses (fp-exact; see pack_scene docstring).
+    scene = cornell.cornell_scene()
+    fs = fused.pack_scene(scene)
+    tr, mats = scene.triangles, scene.materials
+    emissive_tri = np.asarray(mats.emissive)[np.asarray(tr.material)]
+    areas = np.where(emissive_tri, np.asarray(tr.area), np.float32(0.0))
+    cdf_full = np.cumsum(areas.astype(np.float32), dtype=np.float32)
+    assert fs.n_light == int(emissive_tri.sum())
+    np.testing.assert_array_equal(
+        np.asarray(fs.light[:, 15]), cdf_full[emissive_tri])
+    np.testing.assert_array_equal(np.asarray(fs.sky[6]), cdf_full[-1])
