@@ -211,7 +211,12 @@ def reproject(world_pos: jax.Array, view: jax.Array, proj: jax.Array,
     (our image convention; the reference's bottom-up rows are equivalent)."""
     p = jnp.concatenate([world_pos,
                          jnp.ones_like(world_pos[..., :1])], -1)   # (..., 4)
-    clip = jnp.einsum("ij,...j->...i", proj @ view, p)
+    # precision=HIGHEST: the TPU MXU's default bf16 multiply would smear the
+    # reprojected pixel coordinates by ~0.4% (several pixels at 900px) and
+    # break the primitive-id test (same class of bug as ops.gather r3).
+    pv = jnp.matmul(proj, view, precision=jax.lax.Precision.HIGHEST)
+    clip = jnp.einsum("ij,...j->...i", pv, p,
+                      precision=jax.lax.Precision.HIGHEST)
     ndc = clip[..., :3] / jnp.where(jnp.abs(clip[..., 3:4]) > 1e-20,
                                     clip[..., 3:4], 1e-20)
     screen_x = (ndc[..., 0] + 1.0) * 0.5

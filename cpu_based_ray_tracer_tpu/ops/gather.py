@@ -11,6 +11,7 @@ producers.  Crossover is scene-size dependent; ``take`` picks automatically.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 # Above this many rows the one-hot contraction's R*K FLOPs lose to a real
@@ -20,13 +21,21 @@ ONE_HOT_MAX_ROWS = 2048
 
 def take_rows(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     """table (K, C) float, idx (R,) int -> (R, C), via one-hot matmul when K
-    is small, plain gather otherwise."""
+    is small, plain gather otherwise.
+
+    precision=HIGHEST is load-bearing: the TPU MXU's default precision
+    multiplies in bf16, which ROUNDS THE GATHERED VALUES to 8 mantissa bits
+    (r3 bug: the Cornell light's y=5.487 became 5.5, teleporting every NEE
+    sample above the ceiling — every shadow ray occluded, near-black
+    renders).  With HIGHEST the one-hot rows reproduce the f32 table bits
+    exactly; a gather must be a gather."""
     k = table.shape[0]
     if k > ONE_HOT_MAX_ROWS:
         return table[idx]
     oh = (idx[:, None] == jnp.arange(k, dtype=idx.dtype)[None, :])
     return jnp.dot(oh.astype(table.dtype), table,
-                   preferred_element_type=table.dtype)
+                   preferred_element_type=table.dtype,
+                   precision=jax.lax.Precision.HIGHEST)
 
 
 def take_packed(idx: jnp.ndarray, *columns):

@@ -87,3 +87,21 @@ def test_scoped_timer_output(capsys):
         pass
     out = capsys.readouterr().out
     assert "[TIMER] unit" in out
+
+
+def test_one_hot_gather_is_exact():
+    """A gather must be a gather: take_rows reproduces table rows BIT-EXACT.
+
+    Regression for the r3 TPU bug where the one-hot matmul ran at the MXU's
+    default bf16 precision and rounded gathered values to 8 mantissa bits
+    (the Cornell light's y=5.487 became 5.5 -> every NEE sample occluded).
+    precision=HIGHEST is required on the dot; this pins it on every backend.
+    """
+    import jax.numpy as jnp
+    from cpu_based_ray_tracer_tpu.ops import gather
+
+    rng_ = np.random.default_rng(9)
+    table = jnp.asarray(rng_.uniform(-7, 7, (37, 5)).astype(np.float32))
+    idx = jnp.asarray(rng_.integers(0, 37, 256))
+    out = np.asarray(gather.take_rows(table, idx))
+    np.testing.assert_array_equal(out, np.asarray(table)[np.asarray(idx)])
