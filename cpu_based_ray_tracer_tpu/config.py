@@ -39,6 +39,16 @@ class RenderConfig:
     soft_shadow_beta: float = 0.0
     # Whitted stage:
     whitted_depth: int = 5      # World.h:54 max_bounce_depth
+    # Ray-tree lane cap, in multiples of the pixel count: level k's lane
+    # buffer is min(2^k, whitted_lane_cap) * n_pixels, with live lanes
+    # compacted to the front by Fresnel weight.  The reference evaluates the
+    # full 2^depth tree (Renderer.h:226-251); only glass/mirror hits spawn,
+    # so live lanes stay ~O(n_pixels) and the cap never binds on the
+    # reference scenes (asserted in tests/test_whitted.py).  If a glass-heavy
+    # scene exceeds it, the lowest-weight lanes are truncated (an explicit
+    # approximation knob like the depth cap itself).  0 = exact 2^depth
+    # buffers (the oracle).
+    whitted_lane_cap: int = 2
     # Engine knobs (no analogue in the reference):
     ray_chunk: int = 0   # 0 = whole image at once; else rays per chunk
 
