@@ -33,7 +33,11 @@ class DenoiserParams:
 
     use_jbf: bool = True
     jbf_half_size: int = 7            # "try 7, 16, 32"
-    spatial: str = "jbf"              # "jbf" (reference-dense) | "atrous"
+    # Spatial filter: "atrous" (default — à-trous wavelet approximation,
+    # O(25 log k) taps/pixel) or "jbf" (the reference's dense O(K^2) window,
+    # kept as the quality oracle; its own README calls it "too brutal to
+    # have an acceptable render time", README.md:132).
+    spatial: str = "atrous"
     use_temporal: bool = True
     temporal_half_size: int = 3
     tolerance: float = 1.0
@@ -68,9 +72,12 @@ def render_gbuffer(scene: Scene, camera: cam_mod.PerspectiveCamera,
     o = jnp.broadcast_to(camera.position, d.shape)
     pixel = jnp.arange(h * w, dtype=jnp.uint32)
 
+    # ONE scene intersection for both the G-buffer aux channels and the
+    # path trace's first bounce (the reference fills both in one cast,
+    # Renderer.cpp:287-311; bit-identical to re-intersecting).
     hit = intersect.intersect_scene(scene, o, d, t_min=cfg.t_min)
     color = monte_carlo.trace(scene, o, d, cfg, seed=seed, pixel=pixel,
-                              sample=frame_index)
+                              sample=frame_index, first_hit=hit)
     if immediate_clamping:
         color = jnp.clip(color, 0.0, 1.0)
 

@@ -144,3 +144,29 @@ def render(bundle: MeshBundle, camera: cam_mod.PerspectiveCamera,
     return whitted.render(bundle.scene, camera, cfg,
                           intersect_fn=make_intersect_fn(bundle),
                           nearest_t_fn=make_nearest_t_fn(bundle))
+
+
+def render_mc(bundle: MeshBundle, camera: cam_mod.PerspectiveCamera,
+              cfg: RenderConfig, key) -> jax.Array:
+    """Monte Carlo path trace (NEE + RR) through the bundle's accelerated
+    intersector — the architecture of the reference's MC stage, whose every
+    path AND shadow ray is BVH-backed (``Monte Carlo Path Tracer/.../
+    Renderer.cpp:41`` builds the BVH; shadow test at 183-184).  Equal-spp
+    scan engine; mean linear radiance (H, W, 3)."""
+    from cpu_based_ray_tracer_tpu.models import monte_carlo
+
+    return monte_carlo.render(bundle.scene, camera, cfg, key,
+                              intersect_fn=make_intersect_fn(bundle),
+                              nearest_t_fn=make_nearest_t_fn(bundle))
+
+
+def wavefront_mc_steps(bundle: MeshBundle, camera, cfg: RenderConfig, key,
+                       state, n_steps: int):
+    """Persistent-wavefront MC stepper over the bundle's intersector (the
+    mesh-MC throughput engine; see ``monte_carlo.wavefront_steps``)."""
+    from cpu_based_ray_tracer_tpu.models import monte_carlo
+
+    return monte_carlo.wavefront_steps(
+        bundle.scene, camera, cfg, key, state, n_steps,
+        intersect_fn=make_intersect_fn(bundle),
+        nearest_t_fn=make_nearest_t_fn(bundle))

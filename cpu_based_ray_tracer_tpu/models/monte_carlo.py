@@ -144,12 +144,17 @@ def _bounce_step(scene: Scene, cfg: RenderConfig, *, seed, pixel, sample,
 
 def trace(scene: Scene, origin, direction, cfg: RenderConfig, *,
           seed, pixel, sample, count_rays: bool = False,
-          intersect_fn=None, nearest_t_fn=None):
+          intersect_fn=None, nearest_t_fn=None, first_hit=None):
     """Path radiance for a batch of primary rays, (R, 3).
 
     seed: uint32 scalar; pixel: (R,) absolute pixel index (the RNG counter);
     sample: scalar sample index.  ``count_rays``: also return the number of
     rays actually traced (primary + shadow + indirect) for the rays/s metric.
+    ``first_hit``: an already-computed ``intersect.Hit`` for these exact
+    primary rays — callers that need the primary hit anyway (the Denoiser's
+    G-buffer, ``Denoiser/.../Renderer.cpp:287-311`` fills both in one cast)
+    pass it to skip the duplicate bounce-0 scene intersection; results are
+    bit-identical because the intersector is deterministic.
 
     This is the *scan* engine — a fixed-depth ``lax.scan`` over the bounce
     index, fully reverse-differentiable (the gradient tests and the inverse-
@@ -158,20 +163,26 @@ def trace(scene: Scene, origin, direction, cfg: RenderConfig, *,
     """
     r = origin.shape[0]
 
-    def body(state, bounce):
+    def body(state, bounce, bounce_intersect_fn=intersect_fn):
         o, d, throughput, radiance, alive, nrays = state
         delta, o, d, throughput, alive, n_main, n_shadow = _bounce_step(
             scene, cfg, seed=seed, pixel=pixel, sample=sample, bounce=bounce,
             o=o, d=d, throughput=throughput, alive=alive,
-            intersect_fn=intersect_fn, nearest_t_fn=nearest_t_fn)
+            intersect_fn=bounce_intersect_fn, nearest_t_fn=nearest_t_fn)
         return (o, d, throughput, radiance + delta, alive,
                 nrays + n_main + n_shadow), None
 
     state = (origin, direction,
              jnp.ones((r, 3), origin.dtype), jnp.zeros((r, 3), origin.dtype),
              jnp.ones((r,), bool), jnp.zeros((), jnp.int32))
+    start = 0
+    if first_hit is not None:
+        # Peel bounce 0 out of the scan, substituting the precomputed hit.
+        state, _ = body(state, 0,
+                        bounce_intersect_fn=lambda *_args: first_hit)
+        start = 1
     (_, _, _, radiance, _, nrays), _ = jax.lax.scan(
-        body, state, jnp.arange(cfg.max_depth))
+        body, state, jnp.arange(start, cfg.max_depth))
     if count_rays:
         return radiance, nrays
     return radiance
@@ -198,18 +209,26 @@ def _primary_rays(camera, cfg: RenderConfig, seed, sample,
 
 
 def render(scene: Scene, camera: cam_mod.PerspectiveCamera, cfg: RenderConfig,
-           key: jax.Array) -> jax.Array:
+           key: jax.Array, *, intersect_fn=None, nearest_t_fn=None
+           ) -> jax.Array:
     """Mean linear radiance, (H, W, 3).  The SPP loop mirrors the reference's
     progressive accumulation (one jittered frame per accumulated sample,
-    Renderer.cpp:91-134 + Camera.cpp:121) as a scan over the sample index."""
+    Renderer.cpp:91-134 + Camera.cpp:121) as a scan over the sample index.
+
+    ``intersect_fn``/``nearest_t_fn`` swap in an accelerated intersector
+    (``models.mesh.make_intersect_fn``) — the reference's MC stage is
+    BVH-backed for every ray including shadows (Renderer.cpp:41, 183-184)."""
     acc, _ = render_progressive(scene, camera, cfg, key,
                                 jnp.zeros((cfg.height, cfg.width, 3),
-                                          jnp.float32), 0)
+                                          jnp.float32), 0,
+                                intersect_fn=intersect_fn,
+                                nearest_t_fn=nearest_t_fn)
     return acc / cfg.spp
 
 
 def render_progressive(scene: Scene, camera, cfg: RenderConfig, key,
-                       accum, start_sample):
+                       accum, start_sample, *, intersect_fn=None,
+                       nearest_t_fn=None):
     """Accumulate ``cfg.spp`` more samples on top of ``accum`` (sample indices
     ``start_sample..start_sample+spp``).  The (accum, next_index) pair is the
     checkpointable progressive-rendering state — the reference's
@@ -220,7 +239,8 @@ def render_progressive(scene: Scene, camera, cfg: RenderConfig, key,
 
     def one_sample(acc, s):
         o, d, pixel = _primary_rays(camera, cfg, seed, s)
-        rad = trace(scene, o, d, cfg, seed=seed, pixel=pixel, sample=s)
+        rad = trace(scene, o, d, cfg, seed=seed, pixel=pixel, sample=s,
+                    intersect_fn=intersect_fn, nearest_t_fn=nearest_t_fn)
         return acc + rad.reshape(h, w, 3), None
 
     acc, _ = jax.lax.scan(one_sample, accum,

@@ -116,6 +116,61 @@ def cornell_scene() -> Scene:
                       sky_bottom=NIGHT_SKY, sky_top=NIGHT_SKY)
 
 
+def cornell_mesh_scene(mesh_tris: np.ndarray | None = None,
+                       height: float = 1.8) -> Scene:
+    """Cornell box with a triangle MESH in place of the short box.
+
+    The reference's MC stage is BVH-backed end to end (every path and shadow
+    ray goes through ``Renderer.cpp:41``'s BVH over ``TriangleMesh``
+    entities); this scene is the workload that exercises our accelerated
+    intersectors inside the MC estimator (``models.mesh.render_mc``).
+
+    ``mesh_tris``: (T, 3, 3) triangle soup in arbitrary coordinates —
+    normalized to stand on the floor with the short box's footprint center
+    and the given ``height``.  Default: the reference's
+    ``stanford_bunny.obj`` when the checkout is available, else the
+    icosphere stand-in (``scenes.meshes``).
+    """
+    if mesh_tris is None:
+        from cpu_based_ray_tracer_tpu.scenes import meshes
+        src = meshes.reference_asset_dir()
+        if src is not None:
+            import os
+            from cpu_based_ray_tracer_tpu.utils import objio
+            mesh_tris, _ = objio.load_obj(
+                os.path.join(src, "stanford_bunny.obj"))
+        else:
+            mesh_tris = meshes.icosphere(3, radius=1.0)
+    mesh_tris = np.asarray(mesh_tris, np.float64)
+    lo = mesh_tris.reshape(-1, 3).min(0)
+    hi = mesh_tris.reshape(-1, 3).max(0)
+    scale = height / max(hi[1] - lo[1], 1e-9)
+    center = (lo + hi) / 2.0
+    # Short-box footprint center (quads above, scaled): x 1.86, z 1.685.
+    target = np.array([1.86, 0.0, 1.685])
+    offset = target - np.array([center[0], lo[1], center[2]]) * scale
+    mesh_tris = mesh_tris * scale + offset
+
+    mb = MaterialBuilder()
+    ids = {
+        "white": mb.add(DIFFUSE_GLOSSY, albedo=WHITE),
+        "red": mb.add(DIFFUSE_GLOSSY, albedo=RED),
+        "green": mb.add(DIFFUSE_GLOSSY, albedo=GREEN),
+        "light": mb.add(DIFFUSE_GLOSSY, albedo=WHITE,
+                        emission=LIGHT_EMISSION),
+    }
+    verts, tags = cornell_triangles()
+    # Triangle order (cornell_triangles): 12 wall/light tris, then the short
+    # box's 10, then the tall box's 10 — drop the short box.
+    keep = list(range(0, 12)) + list(range(22, 32))
+    verts = np.concatenate([verts[keep], mesh_tris])
+    tags = [tags[i] for i in keep] + ["white"] * len(mesh_tris)
+    mats = np.array([ids[t] for t in tags], np.int32)
+    return make_scene(triangles=make_triangles(verts, mats),
+                      materials=mb.build(),
+                      sky_bottom=NIGHT_SKY, sky_top=NIGHT_SKY)
+
+
 def cornell_camera() -> cam_mod.PerspectiveCamera:
     """MC/Denoiser camera pose (``Monte Carlo Path Tracer/.../Camera.h:19-20``),
     vfov 35 (mainloop.cpp:22)."""

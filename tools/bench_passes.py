@@ -62,7 +62,8 @@ def main():
 
     w, h = args.width, args.height
     want = (set(args.only.split(",")) if args.only else
-            {"mc", "whitted", "mesh", "jbf", "temporal"})
+            {"mc", "fused", "mcmesh", "whitted", "mesh", "packet", "jbf",
+             "temporal"})
     report = {"platform": jax.devices()[0].platform,
               "viewport": f"{w}x{h}", "passes": {}}
     P = report["passes"]
@@ -107,6 +108,83 @@ def main():
             "spp": cfg.spp,
             "spp_per_s": cfg.spp / dt}
         print("mc equal-spp:", P["mc_equal_spp"], flush=True)
+
+    if "fused" in want:
+        # The fused Pallas persistent-wavefront kernel (ops.fused) — the
+        # r3 headline engine; see PERF.md for the roofline.
+        from cpu_based_ray_tracer_tpu.ops import fused
+        import dataclasses
+
+        scene, cam = cornell.cornell_scene(), cornell.cornell_camera()
+        cfg = RenderConfig(width=w, height=h, spp=4, max_depth=16,
+                           rr_survival=0.8)
+        fs = fused.pack_scene(scene)
+        n_steps = 256
+        step = jax.jit(lambda st: fused.wavefront_steps_fused(
+            fs, cam, cfg, key, st, n_steps))
+        st = step(monte_carlo.wavefront_init(scene, cam, cfg, key))
+        jax.block_until_ready(st.acc)
+        st = dataclasses.replace(st, nrays=st.nrays * 0)
+        t0 = time.perf_counter()
+        for _ in range(4):
+            st = step(st)
+        jax.block_until_ready(st.acc)
+        dt = time.perf_counter() - t0
+        P["mc_fused_kernel"] = {
+            "seconds_per_256steps": dt / 4,
+            "rays_per_s": int(np.asarray(st.nrays)) / dt,
+            "ms_per_step": dt / (4 * n_steps) * 1e3, "lanes": h * w}
+        print("fused:", P["mc_fused_kernel"], flush=True)
+
+    if "mcmesh" in want:
+        # MC over an accelerated mesh (bunny-in-Cornell through the packet
+        # intersector) — the reference MC stage's BVH-backed architecture
+        # (Renderer.cpp:41); VERDICT r2 item 3's bench receipt.
+        scene = cornell.cornell_mesh_scene()
+        bundle = mesh_model.prepare(scene, method="packet")
+        cam = cornell.cornell_camera()
+        cfg = RenderConfig(width=w, height=h, spp=4, max_depth=16,
+                           rr_survival=0.8)
+        n_steps = 8
+        step = jax.jit(lambda st: mesh_model.wavefront_mc_steps(
+            bundle, cam, cfg, key, st, n_steps))
+        st = monte_carlo.wavefront_init(scene, cam, cfg, key)
+        st = step(st)
+        jax.block_until_ready(st.acc)
+        r0, t0 = int(np.asarray(st.nrays)), time.perf_counter()
+        for _ in range(3):
+            st = step(st)
+        jax.block_until_ready(st.acc)
+        dt = time.perf_counter() - t0
+        P["mc_mesh_packet"] = {
+            "rays_per_s": (int(np.asarray(st.nrays)) - r0) / dt,
+            "tris": int(scene.triangles.count),
+            "seconds_per_step": dt / (3 * n_steps), "lanes": h * w}
+        print("mcmesh:", P["mc_mesh_packet"], flush=True)
+
+    if "packet" in want:
+        # Intersector-level packet-vs-brute receipt at BVH-stage scale (the
+        # "~6-7x dense brute force" claim of models/mesh.py).
+        from cpu_based_ray_tracer_tpu.ops import intersect, packet as pk
+        try:
+            scene = meshes.bunny_teapot_scene()
+        except FileNotFoundError:
+            scene = meshes.bvh_stage_scene(4)
+        bundle = mesh_model.prepare(scene, method="packet")
+        cam = meshes.bvh_stage_camera()
+        from cpu_based_ray_tracer_tpu import camera as cam_mod
+        d = cam_mod.perspective_rays(cam, w, h).reshape(-1, 3)
+        o = jnp.broadcast_to(cam.position, d.shape)
+        tr = scene.triangles
+        f_pk = jax.jit(lambda: pk.nearest(bundle.clusters, o, d, 1e-3)[0])
+        f_br = jax.jit(lambda: jnp.min(intersect.triangle_t_matrix(
+            o, d, tr.v0, tr.e1, tr.e2, 1e-3, jnp.inf), -1))
+        sp = timeit(f_pk)
+        sb = timeit(f_br)
+        P["packet_vs_brute"] = {
+            "packet_s": sp, "brute_s": sb, "speedup": sb / sp,
+            "tris": int(tr.count), "rays": int(o.shape[0])}
+        print("packet:", P["packet_vs_brute"], flush=True)
 
     if "whitted" in want:
         scene, cam = (whitted_scene.whitted_scene(),

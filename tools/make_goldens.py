@@ -127,23 +127,39 @@ def bunny_teapot(w, h, method="auto"):
                                      method=bundle.method)
 
 
-def mc_cornell(w, h, spp, rr, chunk_spp=32):
+def mc_cornell(w, h, spp, rr, chunk_spp=32, engine="wavefront"):
     """MC Cornell (the north star): NEE + RR path tracing, progressive
-    accumulation (``Monte Carlo Path Tracer/.../Renderer.cpp:136-214``)."""
+    accumulation (``Monte Carlo Path Tracer/.../Renderer.cpp:136-214``).
+
+    ``engine``: "wavefront" = the XLA equal-spp stepper (exactly ``spp``
+    samples/pixel; used for the CPU-reproducible test tier); "turbo" = the
+    fused Pallas kernel (``ops.fused``), equal-*time* progressive — every
+    pixel completes AT LEAST ``spp`` samples and is averaged over its own
+    completed count (same estimator; showcase tier on the TPU, where it is
+    ~30x faster end-to-end because the XLA scan recompiles per RR value).
+    """
     from cpu_based_ray_tracer_tpu.config import RenderConfig
     from cpu_based_ray_tracer_tpu.models import monte_carlo
     from cpu_based_ray_tracer_tpu.scenes import cornell
     from cpu_based_ray_tracer_tpu.utils import rng
 
     scene, cam = cornell.cornell_scene(), cornell.cornell_camera()
+    key = rng.render_key(2)
+    t0 = time.time()
+    if engine == "turbo":
+        cfg = RenderConfig(width=w, height=h, spp=spp, max_depth=16,
+                           rr_survival=rr)
+        img = np.asarray(monte_carlo.render_turbo(scene, cam, cfg, key))
+        print(f"    mc rr={rr}: >= {spp} spp everywhere "
+              f"({time.time() - t0:.0f}s, turbo)", flush=True)
+        return _u8(img, gamma=1.0), dict(spp=spp, rr=rr, depth=16,
+                                         engine="turbo")
     cfg = RenderConfig(width=w, height=h, spp=chunk_spp, max_depth=16,
                        rr_survival=rr)
-    key = rng.render_key(2)
     step = jax.jit(lambda acc, s: monte_carlo.render_wavefront(
         scene, cam, cfg, key, acc, s))
     acc = jnp.zeros((h, w, 3), jnp.float32)
     s = 0
-    t0 = time.time()
     while s < spp:
         acc, s = step(acc, s)
         s = int(s)
@@ -230,10 +246,11 @@ def make_showcase_tier(manifest, only=None):
         u8, m = bunny_teapot(w, h)
         _save("showcase", "bunny_teapot", u8, m, manifest)
     if want("mc"):
-        u8, m = mc_cornell(w, h, 1024, 0.8)
+        eng = "wavefront" if jax.default_backend() == "cpu" else "turbo"
+        u8, m = mc_cornell(w, h, 1024, 0.8, engine=eng)
         _save("showcase", "mc_cornell_1024spp", u8, m, manifest)
         for rr in (0.5, 0.8, 0.9):
-            u8, m = mc_cornell(w, h, 300, rr, chunk_spp=50)
+            u8, m = mc_cornell(w, h, 300, rr, chunk_spp=50, engine=eng)
             _save("showcase", f"mc_cornell_rr{int(rr * 100)}_300spp",
                   u8, m, manifest)
     if want("denoiser"):
