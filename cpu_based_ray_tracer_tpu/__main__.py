@@ -87,8 +87,14 @@ def _render_stage(stage: str, cfg, key):
         img = mesh_model.render(bundle, meshes.bvh_stage_camera(), cfg)
         return img, 1.0
     if stage == "mc":
-        img = monte_carlo.render_fast(cornell.cornell_scene(),
-                                      cornell.cornell_camera(), cfg, key)
+        import jax
+        scene, cam = cornell.cornell_scene(), cornell.cornell_camera()
+        if jax.default_backend() != "cpu":
+            # Fused Pallas engine on accelerators (~3.5x; equal-time
+            # progressive, every pixel completes >= spp samples).
+            img = monte_carlo.render_turbo(scene, cam, cfg, key)
+        else:
+            img = monte_carlo.render_fast(scene, cam, cfg, key)
         return img, 1.0
     if stage == "denoiser":
         scene, cam = cornell.cornell_scene(), cornell.cornell_camera()
