@@ -9,7 +9,9 @@ accelerated one.
 Three interchangeable intersectors (all return the same nearest hit):
 
 - ``packet``  — the packet-culled Pallas kernel (``ops.packet``): the TPU
-  path, ~6-7x dense brute force at 11k triangles (measured on v5e);
+  path, 2.7x dense brute force for camera rays at 11k triangles and the
+  only option past VMEM scale (204k-tri receipt) — numbers in
+  PERF_PASSES.json / PERF.md §4;
 - ``brute``   — exact dense scan (``ops.intersect``): fastest below a few
   hundred triangles, any backend;
 - ``sparse``  — per-lane skip-link BVH walk (``ops.bvh.traverse``): the

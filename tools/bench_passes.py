@@ -64,8 +64,16 @@ def main():
     want = (set(args.only.split(",")) if args.only else
             {"mc", "fused", "mcmesh", "whitted", "mesh", "packet", "jbf",
              "temporal"})
+    out_path = args.out or os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "PERF_PASSES.json")
     report = {"platform": jax.devices()[0].platform,
               "viewport": f"{w}x{h}", "passes": {}}
+    if args.only and os.path.isfile(out_path):
+        # --only runs MERGE into the existing report (same platform only).
+        with open(out_path) as f:
+            prev = json.load(f)
+        if prev.get("platform") == report["platform"]:
+            report["passes"].update(prev.get("passes", {}))
     P = report["passes"]
     key = rng.render_key(0)
 
@@ -213,8 +221,10 @@ def main():
     if "whitted" in want:
         scene, cam = (whitted_scene.whitted_scene(),
                       whitted_scene.whitted_camera())
+        # 16k-lane chunks + the lane cap measured fastest on v5e (r3 sweep:
+        # 0.171 s/frame vs 0.512 for exact buffers at 128k chunks).
         cfg = RenderConfig(width=w, height=h, whitted_depth=5,
-                           ray_chunk=1 << 17)
+                           ray_chunk=1 << 14)
         fn = jax.jit(lambda: whitted.render(scene, cam, cfg))
         s = timeit(fn)
         P["whitted_render"] = {"seconds_per_frame": s, "fps": 1.0 / s,
@@ -255,11 +265,9 @@ def main():
             P["temporal"] = {"seconds": timeit(tmp, g)}
             print("temporal:", P["temporal"], flush=True)
 
-    out = args.out or os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "PERF_PASSES.json")
-    with open(out, "w") as f:
+    with open(out_path, "w") as f:
         json.dump(report, f, indent=1)
-    print("wrote", out)
+    print("wrote", out_path)
 
 
 if __name__ == "__main__":
