@@ -57,9 +57,36 @@ def _throughput(stepper, state, n_steps: int, n_iters: int = 5):
     return rays / dt, dt / (n_iters * n_steps) * 1e3
 
 
+def _sanity(scene):
+    """On-chip numerical tripwires run before any timing (r3 lessons).
+
+    Two silent-corruption classes were caught this round only because a
+    render LOOKED wrong: MXU default-bf16 'gathers' (ops/gather.py) and an
+    XLA-TPU fusion miscompile of jnp.cross+norm (ops/vec.cross).  These
+    asserts re-check both on every bench run on the real backend."""
+    import jax.numpy as jnp
+
+    tr = scene.triangles
+    area_host = 0.5 * np.linalg.norm(
+        np.cross(np.asarray(tr.e1), np.asarray(tr.e2)), axis=-1)
+    area_dev = np.asarray(jax.jit(lambda: tr.area)())
+    np.testing.assert_allclose(area_dev, area_host, rtol=1e-5,
+                               err_msg="triangle areas corrupt under jit "
+                                       "(cross+norm fusion)")
+    from cpu_based_ray_tracer_tpu.ops import gather
+    table = jnp.asarray(np.linspace(0.0, 7.7, 64).reshape(16, 4),
+                        jnp.float32)
+    idx = jnp.asarray(np.arange(16)[::-1])
+    got = np.asarray(jax.jit(lambda: gather.take_rows(table, idx))())
+    np.testing.assert_array_equal(got, np.asarray(table)[::-1],
+                                  err_msg="one-hot gather not bit-exact "
+                                          "(MXU precision)")
+
+
 def main():
     scene = cornell.cornell_scene()
     camera = cornell.cornell_camera()
+    _sanity(scene)
     # Reference-matched workload: the 883x900 viewport (BASELINE.md), RR 0.8.
     cfg = RenderConfig(width=896, height=896, spp=4, max_depth=16,
                        rr_survival=0.8)

@@ -118,8 +118,8 @@ def make_perspective_camera(position, forward, up=(0.0, 1.0, 0.0),
 def camera_basis(cam: PerspectiveCamera):
     """Right/up'/forward orthonormal basis (glm::lookAt convention,
     ``Monte Carlo Path Tracer/.../Camera.cpp:110``)."""
-    right = vec.normalize(jnp.cross(cam.forward, cam.up))
-    true_up = jnp.cross(right, cam.forward)
+    right = vec.normalize(vec.cross(cam.forward, cam.up))
+    true_up = vec.cross(right, cam.forward)
     return right, true_up, cam.forward
 
 

@@ -273,7 +273,10 @@ def render(scene: Scene, camera: cam_mod.PerspectiveCamera,
     d_all = cam_mod.perspective_rays(camera, w, h).reshape(-1, 3)
     o_all = jnp.broadcast_to(camera.position, d_all.shape)
 
-    chunk = cfg.ray_chunk or (h * w)
+    # Default chunking: 16k-lane chunks measured fastest on v5e at 896^2
+    # (0.171 s/frame vs 0.919 unchunked — small chunks keep the level
+    # buffers near VMEM); images at or below one chunk are unaffected.
+    chunk = cfg.ray_chunk or min(h * w, 16384)
     n_chunks = max(1, (h * w + chunk - 1) // chunk)
     if n_chunks > 1:
         # Pad the ray buffer up to a whole number of equal chunks (the

@@ -166,11 +166,11 @@ def traverse(bvh: FlatBVH, v0, e1, e2, origin, direction,
 
 def _mt_scalar(o, d, v0, e1, e2):
     """Möller-Trumbore for one ray & one triangle (all (3,))."""
-    s1 = jnp.cross(d, e2)
+    s1 = vec.cross(d, e2)
     det = jnp.dot(s1, e1)
     inv_det = jnp.where(jnp.abs(det) > 1e-12, 1.0 / det, 0.0)
     s = o - v0
-    s2 = jnp.cross(s, e1)
+    s2 = vec.cross(s, e1)
     t = jnp.dot(s2, e2) * inv_det
     b1 = jnp.dot(s1, s) * inv_det
     b2 = jnp.dot(s2, d) * inv_det

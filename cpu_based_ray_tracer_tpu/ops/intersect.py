@@ -138,12 +138,12 @@ def moller_trumbore_single(origin, direction, v0, e1, e2):
     """Differentiable MT for one (ray, triangle) pair per lane: all inputs
     (R, 3).  Returns (t, b1, b2) each (R,) — used to *recompute* attributes
     at the winning index (attached shading)."""
-    s1 = jnp.cross(direction, e2)
+    s1 = vec.cross(direction, e2)
     det = jnp.sum(s1 * e1, -1)
     ok_det = jnp.abs(det) > _DET_EPS
     inv_det = 1.0 / jnp.where(ok_det, det, 1.0)  # callers mask degenerates
     s = origin - v0
-    s2 = jnp.cross(s, e1)
+    s2 = vec.cross(s, e1)
     t = jnp.sum(s2 * e2, -1) * inv_det
     b1 = jnp.sum(s1 * s, -1) * inv_det
     b2 = jnp.sum(s2 * direction, -1) * inv_det

@@ -18,6 +18,26 @@ def dot(a, b):
     return jnp.sum(a * b, axis=-1, keepdims=True)
 
 
+def cross(a, b):
+    """Componentwise cross product over the last axis.
+
+    NOT ``jnp.cross``: on the TPU backend, jit programs that fuse
+    ``jnp.cross`` (lowered via rolls/slices) into a downstream reduction
+    MISCOMPILE — measured r3: ``norm(jnp.cross(e1, e2))`` returned values
+    off by 2x+ on every row while each op alone was correct (the Cornell
+    light's area came out 1.68x too large, silently scaling every
+    NEE-sampled radiance).  The explicit mul/sub form lowers to plain
+    elementwise ops and is verified exact; use it for ALL traced cross
+    products (tests/test_utils.py pins eager behavior; bench.py asserts
+    the jitted light area on-chip every run).
+    """
+    ax, ay, az = a[..., 0], a[..., 1], a[..., 2]
+    bx, by, bz = b[..., 0], b[..., 1], b[..., 2]
+    return jnp.stack([ay * bz - az * by,
+                      az * bx - ax * bz,
+                      ax * by - ay * bx], axis=-1)
+
+
 def norm(a):
     return jnp.sqrt(jnp.maximum(jnp.sum(a * a, axis=-1, keepdims=True), 0.0))
 
@@ -123,7 +143,7 @@ def orthonormal_frame(n):
     y_a = jnp.stack([n[..., 2], jnp.zeros_like(n[..., 0]), -n[..., 0]], -1)
     y_b = jnp.stack([jnp.zeros_like(n[..., 0]), n[..., 2], -n[..., 1]], -1)
     y = normalize(jnp.where(use_x, y_a, y_b))
-    x = jnp.cross(y, n)
+    x = cross(y, n)
     return x, y
 
 

@@ -85,8 +85,14 @@ class Triangles:
 
     @property
     def area(self) -> jax.Array:
-        """Per-triangle area = |e1 x e2| / 2 (reference TriangleMesh.h:58)."""
-        return 0.5 * jnp.linalg.norm(jnp.cross(self.e1, self.e2), axis=-1)
+        """Per-triangle area = |e1 x e2| / 2 (reference TriangleMesh.h:58).
+
+        Componentwise cross (ops.vec.cross): jnp.cross fused with the norm
+        MISCOMPILES under jit on the TPU backend (see vec.cross) — this
+        exact expression silently inflated the Cornell light's area 1.68x
+        in rounds 1-3."""
+        from cpu_based_ray_tracer_tpu.ops import vec as _vec
+        return 0.5 * jnp.linalg.norm(_vec.cross(self.e1, self.e2), axis=-1)
 
     def replace(self, **kw):
         return _replace(self, **kw)

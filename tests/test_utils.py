@@ -105,3 +105,24 @@ def test_one_hot_gather_is_exact():
     idx = jnp.asarray(rng_.integers(0, 37, 256))
     out = np.asarray(gather.take_rows(table, idx))
     np.testing.assert_array_equal(out, np.asarray(table)[np.asarray(idx)])
+
+
+def test_vec_cross_matches_numpy():
+    """vec.cross (componentwise) == numpy cross, under jit too.  Regression
+    anchor for the r3 XLA-TPU miscompile of jnp.cross fused with a
+    reduction (see ops/vec.py:cross); bench.py re-asserts this on-chip."""
+    import jax
+    import jax.numpy as jnp
+    from cpu_based_ray_tracer_tpu.ops import vec
+
+    rng_ = np.random.default_rng(2)
+    a = rng_.normal(size=(33, 3)).astype(np.float32)
+    b = rng_.normal(size=(33, 3)).astype(np.float32)
+    ref = np.cross(a, b)
+    got = np.asarray(vec.cross(jnp.asarray(a), jnp.asarray(b)))
+    np.testing.assert_allclose(got, ref, rtol=1e-6)
+    got_j = np.asarray(jax.jit(
+        lambda x, y: jnp.linalg.norm(vec.cross(x, y), axis=-1))(
+            jnp.asarray(a), jnp.asarray(b)))
+    np.testing.assert_allclose(got_j, np.linalg.norm(ref, axis=-1),
+                               rtol=1e-5)
