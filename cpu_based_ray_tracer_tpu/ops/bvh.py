@@ -28,6 +28,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from cpu_based_ray_tracer_tpu.ops import vec
 from cpu_based_ray_tracer_tpu.ops.intersect import (NO_HIT_T,
                                                     triangle_t_matrix)
 
