@@ -269,6 +269,12 @@ def make_showcase_tier(manifest, only=None):
         eng = "wavefront" if jax.default_backend() == "cpu" else "turbo"
         u8, m = mc_cornell(w, h, 1024, 0.8, engine=eng)
         _save("showcase", "mc_cornell_1024spp", u8, m, manifest)
+        if eng == "turbo":
+            # The reference's own headline artifact is RR0.8 at 10,000 SPP
+            # (README.md:95-97, Sample Images RR0.8 10000spp.jpg) — ~50 s
+            # on-chip with the fused engine.
+            u8, m = mc_cornell(w, h, 10000, 0.8, engine=eng)
+            _save("showcase", "mc_cornell_10000spp", u8, m, manifest)
         for rr in (0.5, 0.8, 0.9):
             u8, m = mc_cornell(w, h, 300, rr, chunk_spp=50, engine=eng)
             _save("showcase", f"mc_cornell_rr{int(rr * 100)}_300spp",
