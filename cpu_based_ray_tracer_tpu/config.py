@@ -50,7 +50,11 @@ class RenderConfig:
     # buffers (the oracle).
     whitted_lane_cap: int = 2
     # Engine knobs (no analogue in the reference):
-    ray_chunk: int = 0   # 0 = whole image at once; else rays per chunk
+    # 0 = auto: the Whitted stage chunks at min(h*w, 16384) lanes (measured
+    # fastest on v5e; knife-edge lanes may differ by 1 ulp vs unchunked —
+    # tests/test_whitted.py), other stages take the whole image at once.
+    # Any other value = rays per chunk everywhere.
+    ray_chunk: int = 0
 
     def replace(self, **kw) -> "RenderConfig":
         return dataclasses.replace(self, **kw)

@@ -442,8 +442,14 @@ def render_turbo(scene: Scene, camera, cfg: RenderConfig, key,
     (``ops.fused`` — the peak-throughput engine, ~3.3x the XLA stepper on
     v5e).  Equal-*time* progressive semantics: steps until every pixel has
     completed at least ``min_spp`` (default ``cfg.spp``) samples, then
-    averages each pixel's completed samples (some pixels will have more —
-    the per-pixel mean stays the reference estimator).  Forward-only."""
+    averages each pixel's completed samples.  Caveats (advisor r3): because
+    the stop rule couples each pixel's completed-sample count to its sampled
+    path lengths, the per-pixel mean carries a small stopping-time bias
+    relative to the reference's fixed-spp estimator (negligible at showcase
+    SPP, and vanishing as min_spp grows), and the per-pixel counts depend on
+    how many whole step-chunks ran — so the same seed/config can produce
+    slightly different images on TPU vs CPU.  For the exact fixed-spp
+    estimator use ``render``/``render_wavefront``.  Forward-only."""
     from cpu_based_ray_tracer_tpu.ops import fused
 
     target = cfg.spp if min_spp is None else min_spp

@@ -268,7 +268,15 @@ def render(scene: Scene, camera: cam_mod.PerspectiveCamera,
            nearest_t_fn=None) -> jax.Array:
     """Deterministic Whitted render (pixel centers, 1 SPP — the reference
     stage has no MSAA), (H, W, 3); chunked over row blocks to bound the
-    2^depth lane buffers."""
+    2^depth lane buffers.
+
+    Energy caveat (advisor r3): with the default ``cfg.whitted_lane_cap=2``
+    a glass-heavy NON-reference scene can exceed the ray-tree lane budget,
+    in which case the lowest-Fresnel-weight branches are silently truncated
+    (the cap never binds on the reference scenes — asserted in
+    tests/test_whitted.py).  To audit a new scene, call
+    ``trace(..., return_truncated=True)`` and check the truncated weight is
+    zero, or set ``cfg.whitted_lane_cap=0`` for exact 2^depth buffers."""
     h, w = cfg.height, cfg.width
     d_all = cam_mod.perspective_rays(camera, w, h).reshape(-1, 3)
     o_all = jnp.broadcast_to(camera.position, d_all.shape)

@@ -1,0 +1,127 @@
+"""Parity gates: the fused mesh-MC engine vs the XLA mesh wavefront.
+
+``ops.fused_mesh`` re-implements ``monte_carlo.wavefront_steps`` driven
+through the packet-accelerated intersector (``models.mesh``) as two Pallas
+kernels + XLA compaction.  Both consume the same counter-based pcg4d
+streams, so every decision (hit, RR coin, sample advance) must agree
+lane-for-lane: integer state and ray counters are compared EXACTLY; float
+state only differs by fp reassociation.
+
+Runs on the CPU backend through the Pallas interpreter.
+"""
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from cpu_based_ray_tracer_tpu.config import RenderConfig
+from cpu_based_ray_tracer_tpu.models import mesh as mesh_model
+from cpu_based_ray_tracer_tpu.models import monte_carlo as mc
+from cpu_based_ray_tracer_tpu.ops import fused_mesh
+from cpu_based_ray_tracer_tpu.scenes import cornell, meshes
+from cpu_based_ray_tracer_tpu.utils import rng
+
+
+def _scene():
+    # 22 box triangles (unrolled smalls) + 80 mesh triangles (clustered).
+    return cornell.cornell_mesh_scene(meshes.icosphere(1, radius=1.0))
+
+
+def _xla_reference(scene, cam, cfg, key, st0, n_steps):
+    bundle = mesh_model.prepare(scene, method="packet", cluster_size=64)
+    ifn = mesh_model.make_intersect_fn(bundle)
+    nfn = mesh_model.make_nearest_t_fn(bundle)
+    return mc.wavefront_steps(scene, cam, cfg, key, st0, n_steps,
+                              intersect_fn=ifn, nearest_t_fn=nfn)
+
+
+def _parity(cfg: RenderConfig, n_steps: int, seed: int = 7):
+    scene = _scene()
+    cam = cornell.cornell_camera()
+    key = rng.render_key(seed)
+    n = scene.triangles.count
+    gate = np.arange(n) >= 22                # mesh triangles only
+    mp = fused_mesh.pack_mesh_scene(scene, gate_mask=gate, cluster_size=64)
+    st0 = mc.wavefront_init(scene, cam, cfg, key)
+    ref = _xla_reference(scene, cam, cfg, key, st0, n_steps)
+    got, overflow, _np = fused_mesh.wavefront_steps_fused_mesh(
+        mp, cam, cfg, key, st0, n_steps)
+    assert int(overflow) == 0
+    for name in ("s", "b", "n_done"):
+        a = np.asarray(getattr(ref, name))
+        b = np.asarray(getattr(got, name))
+        np.testing.assert_array_equal(a, b, err_msg=f"integer state {name}")
+    assert int(ref.nrays) == int(got.nrays)
+    for name in ("tp", "cur", "acc"):
+        a = np.asarray(getattr(ref, name))
+        b = np.asarray(getattr(got, name))
+        np.testing.assert_allclose(a, b, rtol=2e-3, atol=2e-3,
+                                   err_msg=f"float state {name}")
+    return ref, got
+
+
+def test_pack_gate_heuristic():
+    scene = _scene()
+    mp = fused_mesh.pack_mesh_scene(scene)
+    # The icosphere triangles are tiny vs the room; the walls/boxes/light
+    # span it.  The default heuristic must gate exactly the mesh.
+    assert mp.gate_mask.sum() == 80
+    assert not mp.gate_mask[:22].any()
+    assert mp.n_stri == 22
+    # Light table identical to the full-scene CDF construction.
+    from cpu_based_ray_tracer_tpu.ops import fused
+    fs = fused.pack_scene(scene)
+    np.testing.assert_array_equal(np.asarray(mp.light), np.asarray(fs.light))
+    np.testing.assert_array_equal(np.asarray(mp.sky), np.asarray(fs.sky))
+
+
+def test_fused_mesh_parity():
+    cfg = RenderConfig(width=48, height=48, spp=4, max_depth=4,
+                       rr_survival=0.8)
+    _parity(cfg, n_steps=6)
+
+
+def test_fused_mesh_parity_padded_lanes():
+    # 41x37 = 1517 lanes — not a multiple of the 4096-lane tile.
+    cfg = RenderConfig(width=41, height=37, spp=2, max_depth=3,
+                       rr_survival=0.5)
+    ref, got = _parity(cfg, n_steps=4)
+    assert int(got.nrays) > 0
+
+
+def test_fused_mesh_overflow_reported():
+    # A tiny cap must report overflow, never silently drop mesh tests.
+    scene = _scene()
+    cam = cornell.cornell_camera()
+    cfg = RenderConfig(width=48, height=48, spp=2, max_depth=3)
+    key = rng.render_key(3)
+    n = scene.triangles.count
+    mp = fused_mesh.pack_mesh_scene(
+        scene, gate_mask=np.arange(n) >= 22, cluster_size=64)
+    st0 = mc.wavefront_init(scene, cam, cfg, key)
+    _, overflow, _np2 = fused_mesh.wavefront_steps_fused_mesh(
+        mp, cam, cfg, key, st0, 2, cap_main=128, cap_shadow=128)
+    # 48x48 primary rays aimed at the box center: far more than 128 cross
+    # the mesh AABB on step 0.
+    assert int(overflow) > 0
+
+
+def test_fused_mesh_image_converges_like_xla():
+    scene = _scene()
+    cam = cornell.cornell_camera()
+    cfg = RenderConfig(width=32, height=32, spp=4, max_depth=6,
+                       rr_survival=0.8)
+    key = rng.render_key(3)
+    n = scene.triangles.count
+    mp = fused_mesh.pack_mesh_scene(
+        scene, gate_mask=np.arange(n) >= 22, cluster_size=64)
+    st = mc.wavefront_init(scene, cam, cfg, key)
+    st_x = _xla_reference(scene, cam, cfg, key, st, 12)
+    st_f, overflow, _np3 = fused_mesh.wavefront_steps_fused_mesh(
+        mp, cam, cfg, key, st, 12)
+    assert int(overflow) == 0
+    np.testing.assert_array_equal(np.asarray(st_x.n_done),
+                                  np.asarray(st_f.n_done))
+    a = np.asarray(mc.wavefront_image(st_x, cfg))
+    b = np.asarray(mc.wavefront_image(st_f, cfg))
+    np.testing.assert_allclose(a, b, rtol=2e-3, atol=2e-3)
