@@ -83,6 +83,49 @@ def _sanity(scene):
                                           "(MXU precision)")
 
 
+def _regression_gate(fresh: dict) -> None:
+    """Fail loudly when a fresh number regresses >10% vs the last committed
+    round receipt (VERDICT r3 next #8 — the r1->r2 -9.7% slip went unnoticed
+    for a round).  Compares against the newest BENCH_r*.json in the repo
+    root; prints a PERF_REGRESSION line per offender and exits non-zero when
+    BENCH_STRICT=1 (default: loud line, rc 0, so the driver still records
+    the headline)."""
+    import glob
+    import os
+    import re
+
+    files = sorted(glob.glob(os.path.join(os.path.dirname(
+        os.path.abspath(__file__)), "BENCH_r*.json")))
+    if not files:
+        return
+    try:
+        tail = json.load(open(files[-1]))["tail"]
+    except Exception:
+        return
+    committed = {}
+    for line in tail.splitlines():
+        m = re.match(r"\{.*\}", line.strip())
+        if not m:
+            continue
+        try:
+            rec = json.loads(m.group(0))
+            committed[rec.get("metric")] = rec.get("value")
+        except Exception:
+            continue
+    regressed = []
+    for metric, val in fresh.items():
+        old = committed.get(metric)
+        if old and old > 0 and val < 0.90 * old:
+            regressed.append((metric, val, old))
+            print(json.dumps({
+                "metric": "PERF_REGRESSION", "offender": metric,
+                "value": val, "committed": old,
+                "ratio": round(val / old, 4), "vs": files[-1]}))
+    if regressed and os.environ.get("BENCH_STRICT") == "1":
+        raise SystemExit(f"perf regression >10% on {len(regressed)} "
+                         f"metric(s) vs {files[-1]}")
+
+
 def main():
     scene = cornell.cornell_scene()
     camera = cornell.cornell_camera()
@@ -115,6 +158,8 @@ def main():
              backend=jax.default_backend())
     print(json.dumps({"metric": "mc_cornell_fused_ms_per_step",
                       "value": round(ms, 4), "unit": "ms"}))
+    _regression_gate({"mc_cornell_xla_wavefront": xla_rays,
+                      "rays_per_s_per_chip_mc_cornell": rays_per_s})
     print(json.dumps({
         "metric": "rays_per_s_per_chip_mc_cornell",
         "value": rays_per_s,

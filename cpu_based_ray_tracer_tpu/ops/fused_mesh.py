@@ -84,11 +84,9 @@ class MeshPack(NamedTuple):
     mat: jax.Array       # (K, 8) f32 materials: albedo emission emissive pad
     light: jax.Array     # (Le, 16) f32 emissive tris: v0 e1 e2 n emission cdf
     sky: jax.Array       # (8,) f32: sky_bottom sky_top light_total pad
-    clusters: packet_ops.Clusters   # gated (mesh) triangles
-    mesh_normal: jax.Array          # (Ng, 3) f32 table normals, gated order
-    mesh_mid: jax.Array             # (Ng,) i32 material ids, gated order
-    mesh_attr: jax.Array            # (Ng, 4) f32 [normal, mid] packed rows
-    #   (one batched row gather per step beats 4 scalar gathers on TPU)
+    smc_tri: jax.Array   # (C, CS*MESH_NF//128, 128) f32 cluster stream
+    smc_aabb: jax.Array  # (C, 8) f32 cluster AABBs
+    cs: int              # triangles per cluster (static)
     gate_lo: tuple                  # union AABB of the gated triangles
     gate_hi: tuple
     n_stri: int
@@ -186,19 +184,17 @@ def pack_mesh_scene(scene: Scene, gate_mask: Optional[np.ndarray] = None,
     if len(gidx) == 0:
         raise ValueError("no gated triangles — use ops.fused for small "
                          "scenes (every primitive unrolled)")
-    clusters = packet_ops.build_clusters(verts[gidx],
-                                         cluster_size=cluster_size)
+    smc = build_smem_clusters(verts[gidx], nrm[gidx],
+                              tmat[gidx].astype(np.float32),
+                              cluster_size=cluster_size)
     gpts = verts[gidx].reshape(-1, 3)
     glo = np.nextafter(gpts.min(0).astype(np.float32), -np.inf)
     ghi = np.nextafter(gpts.max(0).astype(np.float32), np.inf)
 
     return MeshPack(
         stri=jnp.asarray(stri), ssph=jnp.asarray(ssph), mat=jnp.asarray(mat),
-        light=jnp.asarray(light), sky=jnp.asarray(sky), clusters=clusters,
-        mesh_normal=jnp.asarray(nrm[gidx]),
-        mesh_mid=jnp.asarray(tmat[gidx], jnp.int32),
-        mesh_attr=jnp.asarray(np.concatenate(
-            [nrm[gidx], tmat[gidx, None].astype(np.float32)], 1)),
+        light=jnp.asarray(light), sky=jnp.asarray(sky),
+        smc_tri=smc.tri, smc_aabb=smc.aabb, cs=smc.cs,
         gate_lo=tuple(map(float, glo)), gate_hi=tuple(map(float, ghi)),
         n_stri=ns, n_sph=s, n_light=le, n_mat=k, gate_mask=gate_mask)
 
@@ -531,6 +527,284 @@ def _k2_kernel(seed_ref, cam_ref, stri_ref, ssph_ref, mat_ref, light_ref,
 
 
 # --------------------------------------------------------------------------
+# SMEM-streaming mesh intersectors for compacted ray buffers.
+#
+# The packet kernel's (CS, 1) x (1, RT) broadcast form measured ~50% of the
+# VPU issue rate on this workload; the fused.py scalar-broadcast form (per-
+# triangle SMEM scalars against (SUB, 128) lane planes) measured ~70%
+# (PERF.md).  These kernels stream each cluster HBM -> SMEM (double-
+# buffered DMA) and run the scalar form, so compacted mesh rays get the
+# same per-op efficiency as the Cornell kernel — and the winner's normal +
+# material id come straight from the streamed rows (no XLA attribute
+# gather afterwards).
+# --------------------------------------------------------------------------
+
+MESH_NF = 16     # floats per streamed triangle row: v0 e1 e2 n mid pad*3
+
+
+class SmemClusters(NamedTuple):
+    """Cluster-major triangle stream for the SMEM mesh kernels."""
+
+    tri: jax.Array    # (C, CS*MESH_NF//128, 128) f32 — lane-aligned rows
+    aabb: jax.Array   # (C, 8) f32 min xyz / max xyz / pad
+    cs: int
+
+
+def build_smem_clusters(verts: np.ndarray, normals: np.ndarray,
+                        mids: np.ndarray, cluster_size: int = 128
+                        ) -> SmemClusters:
+    """Median-split leaves (same rule as ``packet_ops.build_clusters``)
+    packed into DMA-ready (CS*MESH_NF/128, 128) blocks per cluster.
+
+    Padding triangles are degenerate (all-zero: det == 0, never hit)."""
+    from cpu_based_ray_tracer_tpu.ops import bvh as bvh_ops
+
+    assert cluster_size * MESH_NF % 128 == 0
+    tris = np.asarray(verts, np.float64).reshape(-1, 3, 3)
+    flat = bvh_ops.build_bvh(tris, leaf_size=cluster_size)
+    first = np.asarray(flat.leaf_first)
+    count = np.asarray(flat.leaf_count)
+    order = np.asarray(flat.order)
+    leaves = np.flatnonzero(count > 0)
+
+    cs = cluster_size
+    c = len(leaves)
+    v0 = tris[:, 0]
+    e1 = tris[:, 1] - tris[:, 0]
+    e2 = tris[:, 2] - tris[:, 0]
+    rows = np.zeros((c, cs, MESH_NF), np.float32)
+    aabb = np.zeros((c, 8), np.float32)
+    for ci, leaf in enumerate(leaves):
+        idx = order[first[leaf]:first[leaf] + count[leaf]]
+        k = len(idx)
+        rows[ci, :k, 0:3] = v0[idx]
+        rows[ci, :k, 3:6] = e1[idx]
+        rows[ci, :k, 6:9] = e2[idx]
+        rows[ci, :k, 9:12] = normals[idx]
+        rows[ci, :k, 12] = mids[idx]
+        lo = tris[idx].reshape(-1, 3).min(0)
+        hi = tris[idx].reshape(-1, 3).max(0)
+        aabb[ci, 0:3] = np.nextafter(lo.astype(np.float32), -np.inf)
+        aabb[ci, 3:6] = np.nextafter(hi.astype(np.float32), np.inf)
+    return SmemClusters(
+        tri=jnp.asarray(rows.reshape(c, cs * MESH_NF // 128, 128)),
+        aabb=jnp.asarray(aabb), cs=cs)
+
+
+def _mesh_nearest_kernel(aabb_ref, rays_ref, tri_hbm, out_ref, tri_smem,
+                         sem, *, n_clusters: int, cs: int, t_min: float):
+    """Nearest mesh hit for one (SUB, 128) tile of compacted rays.
+
+    Streams clusters HBM -> SMEM double-buffered; per cluster a slab test +
+    tile-any() cond skips the triangle math when no lane can improve."""
+    f32 = jnp.float32
+    ox, oy, oz = rays_ref[0], rays_ref[1], rays_ref[2]
+    dx, dy, dz = rays_ref[3], rays_ref[4], rays_ref[5]
+
+    def safe_inv(v):
+        tiny = jnp.where(v < 0.0, f32(-1e-20), f32(1e-20))
+        return 1.0 / jnp.where(jnp.abs(v) < 1e-20, tiny, v)
+
+    ix, iy, iz = safe_inv(dx), safe_inv(dy), safe_inv(dz)
+
+    def get_dma(slot, c):
+        return pltpu.make_async_copy(tri_hbm.at[c], tri_smem.at[slot], sem.at[slot])
+
+    get_dma(0, 0).start()
+
+    def at(slot, k, j):
+        f = k * MESH_NF + j
+        return tri_smem[slot, f // 128, f % 128]
+
+    def body(c, carry):
+        best_t, bnx, bny, bnz, bmid = carry
+        slot = jax.lax.rem(c, 2)
+
+        @pl.when(c + 1 < n_clusters)
+        def _():
+            get_dma(jax.lax.rem(c + 1, 2), c + 1).start()
+
+        get_dma(slot, c).wait()
+
+        bx0, by0, bz0 = aabb_ref[c, 0], aabb_ref[c, 1], aabb_ref[c, 2]
+        bx1, by1, bz1 = aabb_ref[c, 3], aabb_ref[c, 4], aabb_ref[c, 5]
+        tx0 = (bx0 - ox) * ix
+        tx1 = (bx1 - ox) * ix
+        ty0 = (by0 - oy) * iy
+        ty1 = (by1 - oy) * iy
+        tz0 = (bz0 - oz) * iz
+        tz1 = (bz1 - oz) * iz
+        t_in = jnp.maximum(jnp.maximum(jnp.minimum(tx0, tx1),
+                                       jnp.minimum(ty0, ty1)),
+                           jnp.minimum(tz0, tz1))
+        t_out = jnp.minimum(jnp.minimum(jnp.maximum(tx0, tx1),
+                                        jnp.maximum(ty0, ty1)),
+                            jnp.maximum(tz0, tz1))
+        live = (t_out >= 0.0) & (t_in <= t_out) & (t_in <= best_t)
+
+        def hit(carry):
+            best_t, bnx, bny, bnz, bmid = carry
+            for k in range(cs):
+                v0x, v0y, v0z = at(slot, k, 0), at(slot, k, 1), at(slot, k, 2)
+                e1x, e1y, e1z = at(slot, k, 3), at(slot, k, 4), at(slot, k, 5)
+                e2x, e2y, e2z = at(slot, k, 6), at(slot, k, 7), at(slot, k, 8)
+                nx, ny, nz = at(slot, k, 9), at(slot, k, 10), at(slot, k, 11)
+                mid = at(slot, k, 12)
+                s1x = dy * e2z - dz * e2y
+                s1y = dz * e2x - dx * e2z
+                s1z = dx * e2y - dy * e2x
+                det = s1x * e1x + s1y * e1y + s1z * e1z
+                okd = jnp.abs(det) > _DET_EPS
+                inv = 1.0 / jnp.where(okd, det, f32(1.0))
+                sx, sy, sz = ox - v0x, oy - v0y, oz - v0z
+                s2x = sy * e1z - sz * e1y
+                s2y = sz * e1x - sx * e1z
+                s2z = sx * e1y - sy * e1x
+                t = (s2x * e2x + s2y * e2y + s2z * e2z) * inv
+                b1 = (s1x * sx + s1y * sy + s1z * sz) * inv
+                b2 = (s2x * dx + s2y * dy + s2z * dz) * inv
+                ok = (okd & (t > t_min) & (b1 >= 0.0) & (b2 >= 0.0)
+                      & (1.0 - b1 - b2 >= 0.0) & (t < best_t))
+                best_t = jnp.where(ok, t, best_t)
+                bnx = jnp.where(ok, nx, bnx)
+                bny = jnp.where(ok, ny, bny)
+                bnz = jnp.where(ok, nz, bnz)
+                bmid = jnp.where(ok, mid, bmid)
+            return best_t, bnx, bny, bnz, bmid
+
+        return jax.lax.cond(jnp.any(live), hit, lambda x: x,
+                            (best_t, bnx, bny, bnz, bmid))
+
+    z = jnp.zeros(ox.shape, f32)
+    init = (jnp.full(ox.shape, f32(NO_HIT)), z, z, z, z - 1.0)
+    best_t, bnx, bny, bnz, bmid = jax.lax.fori_loop(0, n_clusters, body, init)
+    out_ref[0] = best_t
+    out_ref[1] = bnx
+    out_ref[2] = bny
+    out_ref[3] = bnz
+    out_ref[4] = bmid
+
+
+def _mesh_occl_kernel(aabb_ref, rays_ref, tri_hbm, out_ref, tri_smem, sem,
+                      *, n_clusters: int, cs: int, t_min: float):
+    """Occlusion test: is any mesh triangle within (t_min, lim] along the
+    ray?  rays_ref rows: px py pz wx wy wz lim.  Division-free accept tests
+    (ops.fused shadow-pass trick).  A cluster is skipped when every lane is
+    already occluded or cannot reach it."""
+    f32 = jnp.float32
+    ox, oy, oz = rays_ref[0], rays_ref[1], rays_ref[2]
+    dx, dy, dz = rays_ref[3], rays_ref[4], rays_ref[5]
+    lim = rays_ref[6]
+
+    def safe_inv(v):
+        tiny = jnp.where(v < 0.0, f32(-1e-20), f32(1e-20))
+        return 1.0 / jnp.where(jnp.abs(v) < 1e-20, tiny, v)
+
+    ix, iy, iz = safe_inv(dx), safe_inv(dy), safe_inv(dz)
+
+    def get_dma(slot, c):
+        return pltpu.make_async_copy(tri_hbm.at[c], tri_smem.at[slot], sem.at[slot])
+
+    get_dma(0, 0).start()
+
+    def at(slot, k, j):
+        f = k * MESH_NF + j
+        return tri_smem[slot, f // 128, f % 128]
+
+    def body(c, occ_f):
+        slot = jax.lax.rem(c, 2)
+
+        @pl.when(c + 1 < n_clusters)
+        def _():
+            get_dma(jax.lax.rem(c + 1, 2), c + 1).start()
+
+        get_dma(slot, c).wait()
+
+        bx0, by0, bz0 = aabb_ref[c, 0], aabb_ref[c, 1], aabb_ref[c, 2]
+        bx1, by1, bz1 = aabb_ref[c, 3], aabb_ref[c, 4], aabb_ref[c, 5]
+        tx0 = (bx0 - ox) * ix
+        tx1 = (bx1 - ox) * ix
+        ty0 = (by0 - oy) * iy
+        ty1 = (by1 - oy) * iy
+        tz0 = (bz0 - oz) * iz
+        tz1 = (bz1 - oz) * iz
+        t_in = jnp.maximum(jnp.maximum(jnp.minimum(tx0, tx1),
+                                       jnp.minimum(ty0, ty1)),
+                           jnp.minimum(tz0, tz1))
+        t_out = jnp.minimum(jnp.minimum(jnp.maximum(tx0, tx1),
+                                        jnp.maximum(ty0, ty1)),
+                            jnp.maximum(tz0, tz1))
+        live = ((t_out >= 0.0) & (t_in <= t_out) & (t_in <= lim)
+                & (occ_f < 0.5))
+
+        def hit(occ_f):
+            occluded = occ_f > 0.5
+            for k in range(cs):
+                v0x, v0y, v0z = at(slot, k, 0), at(slot, k, 1), at(slot, k, 2)
+                e1x, e1y, e1z = at(slot, k, 3), at(slot, k, 4), at(slot, k, 5)
+                e2x, e2y, e2z = at(slot, k, 6), at(slot, k, 7), at(slot, k, 8)
+                s1x = dy * e2z - dz * e2y
+                s1y = dz * e2x - dx * e2z
+                s1z = dx * e2y - dy * e2x
+                det = s1x * e1x + s1y * e1y + s1z * e1z
+                okd = jnp.abs(det) > _DET_EPS
+                sd = jnp.where(det >= 0.0, f32(1.0), f32(-1.0))
+                adet = det * sd
+                sx, sy, sz = ox - v0x, oy - v0y, oz - v0z
+                s2x = sy * e1z - sz * e1y
+                s2y = sz * e1x - sx * e1z
+                s2z = sx * e1y - sy * e1x
+                tn = s2x * e2x + s2y * e2y + s2z * e2z
+                b1n = s1x * sx + s1y * sy + s1z * sz
+                b2n = s2x * dx + s2y * dy + s2z * dz
+                tsd = tn * sd
+                occluded = occluded | (
+                    okd & (tsd > t_min * adet) & (tsd <= lim * adet)
+                    & (b1n * sd >= 0.0) & (b2n * sd >= 0.0)
+                    & ((det - b1n - b2n) * sd >= 0.0))
+            return occluded.astype(f32)
+
+        return jax.lax.cond(jnp.any(live), hit, lambda x: x, occ_f)
+
+    occ_f = jax.lax.fori_loop(
+        0, n_clusters, body, jnp.zeros(ox.shape, f32))
+    out_ref[0] = occ_f
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("n_clusters", "cs", "t_min", "occl",
+                                    "interpret"))
+def _mesh_pass(aabb, tri, rays, *, n_clusters, cs, t_min, occl, interpret):
+    """rays: (P, cap) — P=6 for nearest, 7 for occlusion.  Returns (5, cap)
+    [t n mid] or (1, cap) [occluded]."""
+    p, cap = rays.shape
+    assert cap % LANES_PER_TILE == 0, "cap must be a whole number of tiles"
+    g = cap // LANES_PER_TILE
+    rows = cap // 128
+    kern = functools.partial(
+        _mesh_occl_kernel if occl else _mesh_nearest_kernel,
+        n_clusters=n_clusters, cs=cs, t_min=t_min)
+    n_out = 1 if occl else 5
+    out = pl.pallas_call(
+        kern,
+        grid=(g,),
+        in_specs=[
+            _smem_spec(aabb.shape),
+            _plane_spec(p),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=_plane_spec(n_out),
+        out_shape=jax.ShapeDtypeStruct((n_out, rows, 128), jnp.float32),
+        scratch_shapes=[
+            pltpu.SMEM((2, cs * MESH_NF // 128, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(aabb, rays.reshape(p, rows, 128), tri)
+    return out.reshape(n_out, cap)
+
+
+# --------------------------------------------------------------------------
 # XLA glue: compaction, packet passes, merge — one full bounce step.
 # --------------------------------------------------------------------------
 
@@ -576,15 +850,13 @@ def _slab_crosses(o, d, lo, hi, t_lo, t_hi):
     jax.jit, static_argnames=(
         "n_stri", "n_sph", "n_light", "n_mat", "n_steps", "width", "height",
         "n_pix", "t_min", "eps_offset", "rr_survival", "shadow_tol",
-        "max_depth", "cap_main", "cap_shadow", "cs", "interpret"))
-def _run_steps(stri, ssph, mat, light, sky, cl_tri, cl_aabb, cl_tri_id,
-               mesh_attr, gate_lo, gate_hi, seed, cam16, pix_planes,
-               pxy_planes, sf, si, *, n_stri, n_sph, n_light, n_mat,
-               n_steps, width, height, n_pix, t_min, eps_offset,
-               rr_survival, shadow_tol, max_depth, cap_main, cap_shadow,
-               cs, interpret):
-    clusters = packet_ops.Clusters(tri=cl_tri, aabb=cl_aabb,
-                                   tri_id=cl_tri_id, cs=cs)
+        "max_depth", "cap_main", "cap_shadow", "cs", "n_clusters",
+        "interpret"))
+def _run_steps(stri, ssph, mat, light, sky, smc_tri, smc_aabb, gate_lo,
+               gate_hi, seed, cam16, pix_planes, pxy_planes, sf, si, *,
+               n_stri, n_sph, n_light, n_mat, n_steps, width, height, n_pix,
+               t_min, eps_offset, rr_survival, shadow_tol, max_depth,
+               cap_main, cap_shadow, cs, n_clusters, interpret):
     rp = sf.shape[1] * 128
     g = sf.shape[1] // SUB
     emissive_tab = mat[:, 6]
@@ -634,18 +906,14 @@ def _run_steps(stri, ssph, mat, light, sky, cl_tri, cl_aabb, cl_tri_id,
         # (the first on-chip run spent ~60% of its time on cap padding).
         live_m = (idx < rp)[None]
         far = jnp.asarray(gate_hi, jnp.float32) + 1.0
-        ro = jnp.where(live_m, o[:, gi], far[:, None]).T     # (cap, 3)
+        ro = jnp.where(live_m, o[:, gi], far[:, None])       # (3, cap)
         rd = jnp.where(live_m, d[:, gi],
                        jnp.asarray([0.0, 0.0, 1.0],
-                                   jnp.float32)[:, None]).T
-        t_m, tri_j = packet_ops.nearest(clusters, ro, rd, t_min,
-                                        interpret=interpret)
-        jm = jnp.clip(tri_j, 0, mesh_attr.shape[0] - 1)
-        attr = mesh_attr[jm]                                # (cap, 4)
-        vals = jnp.stack([
-            t_m, attr[:, 0], attr[:, 1], attr[:, 2],
-            jnp.where(tri_j >= 0, attr[:, 3], -1.0),
-        ], 0)                                               # (5, cap)
+                                   jnp.float32)[:, None])
+        vals = _mesh_pass(smc_aabb, smc_tri,
+                          jnp.concatenate([ro, rd], 0),
+                          n_clusters=n_clusters, cs=cs, t_min=t_min,
+                          occl=False, interpret=interpret)   # (5, cap)
         mesh = jnp.full((5, rp), np.float32(NO_HIT))
         mesh = mesh.at[1:5, :].set(0.0)
         mesh = mesh.at[:, idx].set(vals, mode="drop")
@@ -676,7 +944,11 @@ def _run_steps(stri, ssph, mat, light, sky, cl_tri, cl_aabb, cl_tri_id,
         budget = ul[0] * light[-1, 15]
         li = jnp.sum(light[:, 15][None, :] <= budget[:, None], axis=-1)
         li = jnp.clip(li, 0, n_light - 1)
-        lrow = gather.take_rows(light, li)                  # (rp, 16)
+        # Tiny-table row select as a where-chain (the one-hot matmul
+        # measured ~3 ms at 800k lanes; this fuses to ~nothing).
+        lrow = jnp.broadcast_to(light[0], (rp, 16))
+        for e in range(1, n_light):
+            lrow = jnp.where((li >= e)[:, None], light[e], lrow)
         xw = 1.0 - jnp.sqrt(ul[1])
         w1 = (1.0 - xw) * ul[2]
         w2 = (1.0 - xw) * (1.0 - ul[2])
@@ -690,15 +962,17 @@ def _run_steps(stri, ssph, mat, light, sky, cl_tri, cl_aabb, cl_tri_id,
         idx2, of2 = _compact_indices(pred_sh, cap_shadow, rp)
         gi2 = jnp.clip(idx2, 0, rp - 1)
         live_s = (idx2 < rp)[None]
-        po = jnp.where(live_s, p[:, gi2], far[:, None]).T
+        po = jnp.where(live_s, p[:, gi2], far[:, None])
         pw = jnp.where(live_s, wl[:, gi2],
                        jnp.asarray([0.0, 0.0, 1.0],
-                                   jnp.float32)[:, None]).T
-        t_occ, _ = packet_ops.nearest(clusters, po, pw, t_min,
-                                      interpret=interpret)
-        occ_sub = (t_occ <= dist[gi2] - shadow_tol).astype(jnp.float32)
+                                   jnp.float32)[:, None])
+        lim = jnp.where(live_s[0], dist[gi2] - shadow_tol, -1.0)
+        occ_sub = _mesh_pass(smc_aabb, smc_tri,
+                             jnp.concatenate([po, pw, lim[None]], 0),
+                             n_clusters=n_clusters, cs=cs, t_min=t_min,
+                             occl=True, interpret=interpret)
         occ = jnp.zeros((1, rp), jnp.float32).at[:, idx2].set(
-            occ_sub[None], mode="drop")
+            occ_sub, mode="drop")
 
         hf2 = planes(jnp.concatenate(
             [t[None], n_face, mid[None], p, d], 0))         # (11, ., 128)
@@ -759,10 +1033,13 @@ def wavefront_steps_fused_mesh(mp: MeshPack, camera, cfg: RenderConfig, key,
     if r != n_pix:
         raise ValueError("fused mesh stepper expects full-image lane state")
     rp = -(-r // LANES_PER_TILE) * LANES_PER_TILE
+    # Compact buffers are processed in (SUB, 128)-lane kernel tiles.
     if cap_main is None:
-        cap_main = max(1024, rp // 4)
+        cap_main = max(LANES_PER_TILE, rp // 4)
     if cap_shadow is None:
-        cap_shadow = max(1024, rp // 4)
+        cap_shadow = max(LANES_PER_TILE, rp // 4)
+    cap_main = -(-int(cap_main) // LANES_PER_TILE) * LANES_PER_TILE
+    cap_shadow = -(-int(cap_shadow) // LANES_PER_TILE) * LANES_PER_TILE
     seed = rng_mod.seed_from_key(key)[None, None].astype(jnp.uint32)
     cam16 = _camera_words(camera)[None, :]
 
@@ -784,11 +1061,9 @@ def wavefront_steps_fused_mesh(mp: MeshPack, camera, cfg: RenderConfig, key,
                     jnp.zeros((rp,), jnp.int32)], 0)
     si = si.reshape(4, rp // 128, 128)
 
-    cl = mp.clusters
     sf2, si2, overflow, npred = _run_steps(
-        mp.stri, mp.ssph, mp.mat, mp.light, mp.sky, cl.tri, cl.aabb,
-        cl.tri_id, mp.mesh_attr, mp.gate_lo, mp.gate_hi, seed, cam16,
-        pix_planes, pxy_planes, sf, si,
+        mp.stri, mp.ssph, mp.mat, mp.light, mp.sky, mp.smc_tri, mp.smc_aabb,
+        mp.gate_lo, mp.gate_hi, seed, cam16, pix_planes, pxy_planes, sf, si,
         n_stri=mp.n_stri, n_sph=mp.n_sph, n_light=mp.n_light,
         n_mat=mp.n_mat, n_steps=int(n_steps), width=cfg.width,
         height=cfg.height, n_pix=n_pix, t_min=float(cfg.t_min),
@@ -796,7 +1071,8 @@ def wavefront_steps_fused_mesh(mp: MeshPack, camera, cfg: RenderConfig, key,
         rr_survival=float(cfg.rr_survival),
         shadow_tol=float(cfg.shadow_tolerance),
         max_depth=int(cfg.max_depth), cap_main=int(cap_main),
-        cap_shadow=int(cap_shadow), cs=cl.cs, interpret=bool(interpret))
+        cap_shadow=int(cap_shadow), cs=mp.cs,
+        n_clusters=mp.smc_aabb.shape[0], interpret=bool(interpret))
 
     sf2 = sf2.reshape(15, rp)[:, :r]
     si2 = si2.reshape(4, rp)

@@ -93,16 +93,16 @@ def test_fused_mesh_overflow_reported():
     # A tiny cap must report overflow, never silently drop mesh tests.
     scene = _scene()
     cam = cornell.cornell_camera()
-    cfg = RenderConfig(width=48, height=48, spp=2, max_depth=3)
+    cfg = RenderConfig(width=256, height=256, spp=2, max_depth=3)
     key = rng.render_key(3)
     n = scene.triangles.count
     mp = fused_mesh.pack_mesh_scene(
         scene, gate_mask=np.arange(n) >= 22, cluster_size=64)
     st0 = mc.wavefront_init(scene, cam, cfg, key)
     _, overflow, _np2 = fused_mesh.wavefront_steps_fused_mesh(
-        mp, cam, cfg, key, st0, 2, cap_main=128, cap_shadow=128)
-    # 48x48 primary rays aimed at the box center: far more than 128 cross
-    # the mesh AABB on step 0.
+        mp, cam, cfg, key, st0, 1, cap_main=4096, cap_shadow=4096)
+    # 256x256 primary rays aimed at the box center: far more than 4096 (the
+    # one-tile minimum cap) cross the mesh AABB on step 0.
     assert int(overflow) > 0
 
 

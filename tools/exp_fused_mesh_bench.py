@@ -34,7 +34,7 @@ def main():
     mp = fused_mesh.pack_mesh_scene(scene, cluster_size=args.cs)
     print(f"tris: {scene.triangles.count} (smalls {mp.n_stri}, "
           f"mesh {int(mp.gate_mask.sum())}, clusters "
-          f"{mp.clusters.n_clusters} x {mp.clusters.cs})")
+          f"{mp.smc_aabb.shape[0]} x {mp.cs})")
 
     state = mc.wavefront_init(scene, cam, cfg, key)
     kw = {}
