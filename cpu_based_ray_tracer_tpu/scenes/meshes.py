@@ -146,3 +146,25 @@ def bvh_stage_camera() -> cam_mod.PerspectiveCamera:
     Camera.h:19-20``, mainloop.cpp:22)."""
     return cam_mod.make_perspective_camera((-1, 5, 10), (0, 0, -1),
                                            vfov_degrees=35.0)
+
+
+def mesh_scene_from_obj(path, scale: float = 1.0,
+                        translate=(0.0, 0.0, 0.0)) -> "Scene":
+    """Scene straight from an OBJ + its .mtl: per-group Kd as the diffuse
+    albedo and Ke as emission (the capability the vendored loader's
+    LoadMaterials enables, ``OBJ_Loader.h:673,1013-1180`` — the reference
+    itself overrides mesh materials in code, so this constructor is the
+    optional path that honors the files instead)."""
+    from cpu_based_ray_tracer_tpu.scene import make_scene
+    from cpu_based_ray_tracer_tpu.utils import objio
+
+    tris, _uv, tri_mtl, mtls = objio.load_obj_with_materials(
+        path, scale=scale, translate=translate)
+    mb = MaterialBuilder()
+    ids = [mb.add(DIFFUSE_GLOSSY, albedo=m["kd"], emission=m["ke"],
+                  ior=max(m["ni"], 1.0), kd=0.8, ks=0.2,
+                  spec_exp=max(m["ns"], 1.0)) for m in mtls]
+    mats = np.asarray([ids[j] for j in tri_mtl], np.int32)
+    return make_scene(triangles=make_triangles(tris, mats),
+                      materials=mb.build(),
+                      sky_bottom=(0.0, 0.0, 0.0), sky_top=(0.0, 0.0, 0.0))

@@ -31,7 +31,6 @@ def main():
                        rr_survival=0.8)
     key = rng.render_key(1)
     mp = fused_mesh.pack_mesh_scene(scene, cluster_size=128)
-    cl = mp.clusters
 
     # Representative state: step the engine a bit.
     st = mc.wavefront_init(scene, cam, cfg, key)
@@ -57,44 +56,44 @@ def main():
         [rd, np.tile([0.0, 0.0, 1.0], (pad, 1))]).astype(np.float32)
 
     ro_j, rd_j = jnp.asarray(ro_p), jnp.asarray(rd_p)
-    f1 = jax.jit(lambda: packet_ops.nearest(cl, ro_j, rd_j, cfg.t_min)[0])
-    t = bench(f1)
-    print(f"packet nearest cap={cap} (real {n_real}): {t*1e3:.2f} ms")
+    rays6 = jnp.concatenate([ro_j.T, rd_j.T], 0)
+    C = mp.smc_aabb.shape[0]
+    f1 = jax.jit(lambda: fused_mesh._mesh_pass(
+        mp.smc_aabb, mp.smc_tri, rays6, n_clusters=C, cs=mp.cs,
+        t_min=cfg.t_min, occl=False, interpret=False))
+    print(f"smem nearest cap={cap} (real {n_real}): {bench(f1)*1e3:.2f} ms")
 
-    for blk in (512, 1024, 2048):
-        n2 = ((n_real + blk - 1) // blk) * blk
-        ro2, rd2 = jnp.asarray(ro_p[:n2]), jnp.asarray(rd_p[:n2])
-        f2 = jax.jit(lambda ro2=ro2, rd2=rd2, blk=blk: packet_ops.nearest(
-            cl, ro2, rd2, cfg.t_min, block=blk)[0])
-        print(f"packet nearest tight n={n2} block={blk}: "
-              f"{bench(f2)*1e3:.2f} ms")
+    n2 = ((n_real + 4095) // 4096) * 4096
+    rays6t = rays6[:, :n2]
+    f2 = jax.jit(lambda: fused_mesh._mesh_pass(
+        mp.smc_aabb, mp.smc_tri, rays6t, n_clusters=C, cs=mp.cs,
+        t_min=cfg.t_min, occl=False, interpret=False))
+    print(f"smem nearest tight n={n2}: {bench(f2)*1e3:.2f} ms")
+
+    # occlusion variant, same rays, lim=10
+    lim = jnp.full((cap,), 10.0, jnp.float32)
+    rays7 = jnp.concatenate([rays6, lim[None]], 0)
+    f3 = jax.jit(lambda: fused_mesh._mesh_pass(
+        mp.smc_aabb, mp.smc_tri, rays7, n_clusters=C, cs=mp.cs,
+        t_min=cfg.t_min, occl=True, interpret=False))
+    print(f"smem occl cap={cap}: {bench(f3)*1e3:.2f} ms")
+
+    # all-miss floor
+    far_r = jnp.concatenate([
+        jnp.tile(jnp.asarray(far, jnp.float32)[:, None], (1, cap)),
+        jnp.tile(jnp.asarray([0., 0., 1.], jnp.float32)[:, None], (1, cap))], 0)
+    f4 = jax.jit(lambda: fused_mesh._mesh_pass(
+        mp.smc_aabb, mp.smc_tri, far_r, n_clusters=C, cs=mp.cs,
+        t_min=cfg.t_min, occl=False, interpret=False))
+    print(f"smem nearest all-miss cap={cap}: {bench(f4)*1e3:.2f} ms")
+
+    # cs=64 variant
     mp64 = fused_mesh.pack_mesh_scene(scene, cluster_size=64)
-    for blk in (1024, 2048):
-        n2 = ((n_real + blk - 1) // blk) * blk
-        ro2, rd2 = jnp.asarray(ro_p[:n2]), jnp.asarray(rd_p[:n2])
-        f2 = jax.jit(lambda ro2=ro2, rd2=rd2, blk=blk: packet_ops.nearest(
-            mp64.clusters, ro2, rd2, cfg.t_min, block=blk)[0])
-        print(f"packet cs=64 n={n2} block={blk}: {bench(f2)*1e3:.2f} ms")
-    # octant+cell sorted rays: does the per-cluster cond start skipping?
-    lo = np.asarray(mp.gate_lo); hi = np.asarray(mp.gate_hi)
-    oct_ = ((rd[:, 0] > 0) + 2*(rd[:, 1] > 0) + 4*(rd[:, 2] > 0)).astype(int)
-    cellk = 0
-    for a in range(3):
-        span = max(hi[a]-lo[a], 1e-6)
-        cellk = cellk*4 + np.clip(((ro[:, a]-lo[a])/span*4).astype(int), 0, 3)
-    order = np.argsort(oct_*64 + cellk, kind="stable")
-    ro_s = np.concatenate([ro[order], np.tile(far, (pad, 1))]).astype(np.float32)
-    rd_s = np.concatenate([rd[order], np.tile([0.,0.,1.], (pad,1))]).astype(np.float32)
-    n2 = ((n_real + 1023) // 1024) * 1024
-    ro2, rd2 = jnp.asarray(ro_s[:n2]), jnp.asarray(rd_s[:n2])
-    f2s = jax.jit(lambda: packet_ops.nearest(cl, ro2, rd2, cfg.t_min)[0])
-    print(f"packet SORTED tight n={n2} block=1024: {bench(f2s)*1e3:.2f} ms")
-
-    # miss-only rays: measures the per-cluster cond skip floor
-    ro3 = jnp.asarray(np.tile(far, (cap, 1)).astype(np.float32))
-    rd3 = jnp.asarray(np.tile([0.0, 0.0, 1.0], (cap, 1)).astype(np.float32))
-    f3 = jax.jit(lambda: packet_ops.nearest(cl, ro3, rd3, cfg.t_min)[0])
-    print(f"packet nearest all-miss cap={cap}: {bench(f3)*1e3:.2f} ms")
+    C64 = mp64.smc_aabb.shape[0]
+    f5 = jax.jit(lambda: fused_mesh._mesh_pass(
+        mp64.smc_aabb, mp64.smc_tri, rays6t, n_clusters=C64, cs=64,
+        t_min=cfg.t_min, occl=False, interpret=False))
+    print(f"smem nearest cs=64 tight: {bench(f5)*1e3:.2f} ms")
 
     # glue: pred + compact + gather + scatter roundtrip at this scale
     @jax.jit
@@ -126,11 +125,6 @@ def main():
 
     print(f"light sample glue: {bench(lightsample)*1e3:.2f} ms")
 
-    # mesh_attr row gather at cap
-    jm = jnp.asarray(np.random.randint(0, mp.mesh_attr.shape[0],
-                                       cap).astype(np.int32))
-    f4 = jax.jit(lambda: mp.mesh_attr[jm])
-    print(f"mesh_attr gather cap: {bench(f4)*1e3:.2f} ms")
 
 
 if __name__ == "__main__":
