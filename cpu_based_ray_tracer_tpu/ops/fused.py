@@ -200,11 +200,11 @@ def _norm3(x, y, z, floor=1e-24):
 
 
 def _kernel(seed_ref, cam_ref, tri_ref, sph_ref, light_ref, sky_ref,
-            pix_ref, pxy_ref, sf_ref, si_ref, sf_out, si_out, *,
+            pix_ref, pxy_ref, sf_ref, si_ref, sf_out, si_out, *gb_out, 
             n_tri: int, n_sph: int, n_light: int, n_steps: int,
             width: int, height: int, n_pix: int, t_min: float,
             eps_offset: float, rr_survival: float, shadow_tol: float,
-            max_depth: int):
+            max_depth: int, single_path: bool = False):
     f32 = jnp.float32
     seed = seed_ref[0, 0]
     # Hoisted SMEM scalars (SSA values shared by every step).
@@ -241,10 +241,15 @@ def _kernel(seed_ref, cam_ref, tri_ref, sph_ref, light_ref, sky_ref,
         dz = a * rz_ + b * uz_ + fz_
         return _norm3(dx, dy, dz)
 
-    def step(_, carry):
+    def step(step_i, carry):
         (s, bb, ox, oy, oz, dx, dy, dz, tpx, tpy, tpz,
          cux, cuy, cuz, axp, ayp, azp, nd, nsh) = carry
-        alive0 = valid
+        # Single-path mode (the Denoiser stage's 1-SPP G-buffer frame):
+        # a lane whose sample completed goes idle instead of regenerating,
+        # so every pixel gets EXACTLY one sample of its (pixel, s) stream —
+        # the scan engine's equal-spp semantics at fused-kernel speed.
+        armed = (nd == 0) if single_path else None
+        alive0 = (valid & armed) if single_path else valid
 
         # --- main intersect: unrolled MT over triangles (+ spheres) -------
         # (An NCHAIN-interleaved winner-chain + associative one-hot attr
@@ -256,6 +261,9 @@ def _kernel(seed_ref, cam_ref, tri_ref, sph_ref, light_ref, sky_ref,
         bal = [jnp.zeros_like(ox) for _ in range(3)]
         bem = [jnp.zeros_like(ox) for _ in range(3)]
         bef = jnp.zeros_like(ox)
+        bpid = jnp.zeros_like(ox)      # winner id (models.denoiser
+        # global_prim_id semantics: triangle n -> n+1, live sphere m ->
+        # n_tri+m+1, miss -> -1); dead code unless single_path.
         for n in range(n_tri):
             (v0x, v0y, v0z, e1x, e1y, e1z, e2x, e2y, e2z,
              nx, ny, nz, ar, ag, ab, er, eg, eb, ef) = TRI[n]
@@ -285,6 +293,8 @@ def _kernel(seed_ref, cam_ref, tri_ref, sph_ref, light_ref, sky_ref,
             bem[1] = jnp.where(ok, eg, bem[1])
             bem[2] = jnp.where(ok, eb, bem[2])
             bef = jnp.where(ok, ef, bef)
+            if single_path:
+                bpid = jnp.where(ok, f32(n + 1), bpid)
         for m in range(n_sph):
             (cx, cy, cz, rad, ar, ag, ab, er, eg, eb, ef) = SPH[m]
             ocx, ocy, ocz = ox - cx, oy - cy, oz - cz
@@ -318,6 +328,8 @@ def _kernel(seed_ref, cam_ref, tri_ref, sph_ref, light_ref, sky_ref,
             bem[1] = jnp.where(ok, eg, bem[1])
             bem[2] = jnp.where(ok, eb, bem[2])
             bef = jnp.where(ok, ef, bef)
+            if single_path:
+                bpid = jnp.where(ok, f32(n_tri + m + 1), bpid)
 
         hit = best_t < f32(NO_HIT)
         hit_emissive = hit & (bef > 0.5)
@@ -353,6 +365,22 @@ def _kernel(seed_ref, cam_ref, tri_ref, sph_ref, light_ref, sky_ref,
         hx = ox + t_pt * dx + nxp * eps_offset
         hy = oy + t_pt * dy + nyp * eps_offset
         hz = oz + t_pt * dz + nzp * eps_offset
+        if single_path:
+            # Primary-hit G-buffer channels (Denoiser/.../Renderer.cpp:
+            # 287-311 fills them in the same cast): world pos WITHOUT the
+            # eps offset (intersect.assemble_hit's point), facing normal,
+            # global primitive id, contributor flag.
+            @pl.when(step_i == 0)
+            def _():
+                gb = gb_out[0]
+                gb[0] = ox + t_pt * dx
+                gb[1] = oy + t_pt * dy
+                gb[2] = oz + t_pt * dz
+                gb[3] = nxp
+                gb[4] = nyp
+                gb[5] = nzp
+                gb[6] = jnp.where(hit, bpid, f32(-1.0))
+                gb[7] = hit.astype(f32)
 
         # --- NEE: one area-light sample (Renderer.cpp:170-189) ------------
         ul0, ul1, ul2, _ = _uniforms4(seed, pix, s, bb, rng_mod.LIGHT)
@@ -484,12 +512,12 @@ def _kernel(seed_ref, cam_ref, tri_ref, sph_ref, light_ref, sky_ref,
 
         # --- persistent-wavefront bookkeeping (wavefront_steps) -----------
         cont = continues & (bb + 1 < max_depth)
-        done = ~cont
+        done = (~cont & armed) if single_path else ~cont
         axp = axp + jnp.where(done, cux, 0.0)
         ayp = ayp + jnp.where(done, cuy, 0.0)
         azp = azp + jnp.where(done, cuz, 0.0)
         nd = nd + done.astype(jnp.int32)
-        s_next = s + done.astype(jnp.int32)
+        s_next = s if single_path else s + done.astype(jnp.int32)
         uj0, uj1, _, _ = _uniforms4(seed, pix, s_next,
                                     jnp.zeros_like(s_next), rng_mod.JITTER)
         pdx, pdy, pdz = cam_ray(uj0, uj1)
@@ -530,11 +558,11 @@ def _kernel(seed_ref, cam_ref, tri_ref, sph_ref, light_ref, sky_ref,
     jax.jit, static_argnames=("n_tri", "n_sph", "n_light", "n_steps",
                               "width", "height", "n_pix", "t_min",
                               "eps_offset", "rr_survival", "shadow_tol",
-                              "max_depth", "interpret"))
+                              "max_depth", "single_path", "interpret"))
 def _run(fs_tri, fs_sph, fs_light, fs_sky, seed, cam16, pix_planes,
          pxy_planes, sf, si, *, n_tri, n_sph, n_light, n_steps, width,
          height, n_pix, t_min, eps_offset, rr_survival, shadow_tol,
-         max_depth, interpret):
+         max_depth, single_path=False, interpret=False):
     p = sf.shape[1]
     g = p // SUB
     fs_sky = fs_sky.reshape(1, 8)
@@ -542,8 +570,23 @@ def _run(fs_tri, fs_sph, fs_light, fs_sky, seed, cam16, pix_planes,
         _kernel, n_tri=n_tri, n_sph=n_sph, n_light=n_light, n_steps=n_steps,
         width=width, height=height, n_pix=n_pix, t_min=t_min,
         eps_offset=eps_offset, rr_survival=rr_survival,
-        shadow_tol=shadow_tol, max_depth=max_depth)
-    sf2, si2 = pl.pallas_call(
+        shadow_tol=shadow_tol, max_depth=max_depth, single_path=single_path)
+    out_specs = [
+        pl.BlockSpec((15, SUB, 128), lambda i: (0, i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((4, SUB, 128), lambda i: (0, i, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct(sf.shape, jnp.float32),
+        jax.ShapeDtypeStruct(si.shape, jnp.int32),
+    ]
+    if single_path:
+        out_specs.append(pl.BlockSpec((8, SUB, 128), lambda i: (0, i, 0),
+                                      memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct((8,) + sf.shape[1:],
+                                              jnp.float32))
+    res = pl.pallas_call(
         kern,
         grid=(g,),
         in_specs=[
@@ -565,19 +608,15 @@ def _run(fs_tri, fs_sph, fs_light, fs_sky, seed, cam16, pix_planes,
             pl.BlockSpec((4, SUB, 128), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=[
-            pl.BlockSpec((15, SUB, 128), lambda i: (0, i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((4, SUB, 128), lambda i: (0, i, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct(sf.shape, jnp.float32),
-            jax.ShapeDtypeStruct(si.shape, jnp.int32),
-        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
         interpret=interpret,
     )(seed, cam16, fs_tri, fs_sph, fs_light, fs_sky, pix_planes, pxy_planes,
       sf, si)
+    if single_path:
+        sf2, si2, gb = res
+        return sf2, si2, jnp.sum(si2[3]), gb
+    sf2, si2 = res
     return sf2, si2, jnp.sum(si2[3])
 
 
@@ -647,3 +686,70 @@ def wavefront_steps_fused(fs: FusedScene, camera, cfg: RenderConfig, key,
         s=si2[0], b=si2[1], o=v3(0), d=v3(1), tp=v3(2), cur=v3(3),
         acc=v3(4), n_done=si2[2],
         nrays=state.nrays + jnp.int32(n_steps * n_valid) + nsh)
+
+
+def single_sample_gbuffer(fs: FusedScene, camera, cfg: RenderConfig, key,
+                          frame_index, *, interpret: bool | None = None):
+    """ONE equal-spp sample per pixel + primary-hit G-buffer, fused.
+
+    The Denoiser stage's per-frame workload (deterministic pixel-center
+    primaries, full path radiance for sample ``frame_index``, aux channels
+    from the same primary cast — ``Denoiser/.../Renderer.cpp:238-311``)
+    through the persistent-wavefront kernel in single-path mode: each lane
+    traces exactly its pixel's ``frame_index`` sample then idles, so the
+    result is bit-compatible with the scan engine's estimator (same pcg4d
+    streams), at fused-kernel speed (~16 x 0.9 ms vs ~190 ms at 896^2).
+
+    Returns ``(color (R, 3), world_pos (R, 3), normal (R, 3),
+    prim_id (R,) i32, contributor (R,) bool)`` in lane (row-major pixel)
+    order.  ``prim_id`` follows ``models.denoiser.global_prim_id``
+    (triangle n -> n+1, sphere m -> n_tri+m+1 over the pack's LIVE spheres
+    — zero-radius placeholders are dropped at pack time)."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    n_pix = cfg.height * cfg.width
+    rp = _ceil_to(n_pix, LANES_PER_TILE)
+    seed = rng_mod.seed_from_key(key)[None, None].astype(jnp.uint32)
+    cam16 = _camera_words(camera)[None, :]
+
+    def plane(x, fill=0.0):
+        if rp != n_pix:
+            x = jnp.concatenate(
+                [x, jnp.full((rp - n_pix,) + x.shape[1:], fill, x.dtype)], 0)
+        return x
+
+    pixel = plane(jnp.arange(n_pix, dtype=jnp.uint32),
+                  fill=jnp.uint32(n_pix))
+    pix_planes = pixel.reshape(1, rp // 128, 128)
+    pxy = jnp.stack([(pixel % jnp.uint32(cfg.width)).astype(jnp.float32),
+                     (pixel // jnp.uint32(cfg.width)).astype(jnp.float32)], 0)
+    pxy_planes = pxy.reshape(2, rp // 128, 128)
+
+    d = cam_mod.perspective_rays(camera, cfg.width, cfg.height).reshape(-1, 3)
+    o = jnp.broadcast_to(camera.position, d.shape)
+    z3 = jnp.zeros((n_pix, 3), jnp.float32)
+    f_parts = [o, d, jnp.ones((n_pix, 3), jnp.float32), z3, z3]
+    sf = jnp.concatenate([plane(x).T for x in f_parts], 0)
+    sf = sf.reshape(15, rp // 128, 128)
+    s0 = jnp.full((n_pix,), jnp.asarray(frame_index, jnp.int32))
+    zi = jnp.zeros((n_pix,), jnp.int32)
+    si = jnp.stack([plane(s0), plane(zi), plane(zi), plane(zi)], 0)
+    si = si.reshape(4, rp // 128, 128)
+
+    # max_depth steps retire every lane (RR paths are depth-capped).
+    sf2, si2, _nsh, gb = _run(
+        fs.tri, fs.sph, fs.light, fs.sky, seed, cam16, pix_planes,
+        pxy_planes, sf, si,
+        n_tri=fs.n_tri, n_sph=fs.n_sph, n_light=fs.n_light,
+        n_steps=int(cfg.max_depth), width=cfg.width, height=cfg.height,
+        n_pix=n_pix, t_min=float(cfg.t_min),
+        eps_offset=float(cfg.eps_offset),
+        rr_survival=float(cfg.rr_survival),
+        shadow_tol=float(cfg.shadow_tolerance),
+        max_depth=int(cfg.max_depth), single_path=True,
+        interpret=bool(interpret))
+    sf2 = sf2.reshape(15, rp)[:, :n_pix]
+    gb = gb.reshape(8, rp)[:, :n_pix]
+    color = sf2[12:15].T                      # acc = the one completed sample
+    return (color, gb[0:3].T, gb[3:6].T, gb[6].astype(jnp.int32),
+            gb[7] > 0.5)

@@ -773,27 +773,34 @@ def _mesh_occl_kernel(aabb_ref, rays_ref, tri_hbm, out_ref, tri_smem, sem,
 
 @functools.partial(jax.jit,
                    static_argnames=("n_clusters", "cs", "t_min", "occl",
-                                    "interpret"))
-def _mesh_pass(aabb, tri, rays, *, n_clusters, cs, t_min, occl, interpret):
+                                    "msub", "interpret"))
+def _mesh_pass(aabb, tri, rays, *, n_clusters, cs, t_min, occl, msub=SUB,
+               interpret=False):
     """rays: (P, cap) — P=6 for nearest, 7 for occlusion.  Returns (5, cap)
-    [t n mid] or (1, cap) [occluded]."""
+    [t n mid] or (1, cap) [occluded].  ``msub``: kernel tile height (the
+    per-cluster cull granularity is msub*128 lanes)."""
     p, cap = rays.shape
-    assert cap % LANES_PER_TILE == 0, "cap must be a whole number of tiles"
-    g = cap // LANES_PER_TILE
+    assert cap % (msub * 128) == 0, "cap must be a whole number of tiles"
+    g = cap // (msub * 128)
     rows = cap // 128
     kern = functools.partial(
         _mesh_occl_kernel if occl else _mesh_nearest_kernel,
         n_clusters=n_clusters, cs=cs, t_min=t_min)
     n_out = 1 if occl else 5
+
+    def mspec(q):
+        return pl.BlockSpec((q, msub, 128), lambda i: (0, i, 0),
+                            memory_space=pltpu.VMEM)
+
     out = pl.pallas_call(
         kern,
         grid=(g,),
         in_specs=[
             _smem_spec(aabb.shape),
-            _plane_spec(p),
+            mspec(p),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=_plane_spec(n_out),
+        out_specs=mspec(n_out),
         out_shape=jax.ShapeDtypeStruct((n_out, rows, 128), jnp.float32),
         scratch_shapes=[
             pltpu.SMEM((2, cs * MESH_NF // 128, 128), jnp.float32),
@@ -802,6 +809,129 @@ def _mesh_pass(aabb, tri, rays, *, n_clusters, cs, t_min, occl, interpret):
         interpret=interpret,
     )(aabb, rays.reshape(p, rows, 128), tri)
     return out.reshape(n_out, cap)
+
+
+
+
+def _k1b_kernel(seed_ref, light_ref, mat_ref, sky_ref, glo_ref, pix_ref,
+                rf_ref, hf_ref, mf_ref, si_ref, out_ref, *, n_light: int,
+                n_mat: int, n_pix: int, t_min: float, eps_offset: float,
+                shadow_tol: float):
+    """Merge + shading-point + NEE-sample + predicate kernel (between the
+    mesh main pass and the shadow compaction).  Replaces ~4 ms of loose XLA
+    per step with ~0.1 ms of fused vector math.
+
+    out planes: t, n(3), mid, p(3), wl(3), lim, pred_main_unused?  ->
+    [0]=t [1:4]=n [4]=mid [5:8]=p [8:11]=wl [11]=lim [12]=pred_sh flag."""
+    f32 = jnp.float32
+    seed = seed_ref[0, 0]
+    LGT = [[light_ref[e, k] for k in range(16)] for e in range(n_light)]
+    MATE = [mat_ref[k, 6] for k in range(n_mat)]
+    light_total = sky_ref[0, 6]
+    glo = [glo_ref[0, j] for j in range(6)]            # gate lo/hi xyz
+
+    pix = pix_ref[0]
+    valid = pix < jnp.uint32(n_pix)
+    ox, oy, oz = rf_ref[0], rf_ref[1], rf_ref[2]
+    dx, dy, dz = rf_ref[3], rf_ref[4], rf_ref[5]
+    ts, snx, sny, snz, smid = (hf_ref[0], hf_ref[1], hf_ref[2], hf_ref[3],
+                               hf_ref[4])
+    tm, mnx, mny, mnz, mmid = (mf_ref[0], mf_ref[1], mf_ref[2], mf_ref[3],
+                               mf_ref[4])
+    s = si_ref[0]
+    bb = si_ref[1]
+
+    is_mesh = tm < ts
+    t = jnp.where(is_mesh, tm, ts)
+    nx = jnp.where(is_mesh, mnx, snx)
+    ny = jnp.where(is_mesh, mny, sny)
+    nz = jnp.where(is_mesh, mnz, snz)
+    mid = jnp.where(is_mesh, mmid, smid)
+    # assemble_hit semantics: normalize the table normal, flip toward the
+    # viewer, eps-offset shading point (intersect.py:207-213).
+    nx, ny, nz = _norm3(nx, ny, nz)
+    front = (nx * dx + ny * dy + nz * dz) < 0.0
+    nx = jnp.where(front, nx, -nx)
+    ny = jnp.where(front, ny, -ny)
+    nz = jnp.where(front, nz, -nz)
+    hit = t < f32(NO_HIT)
+    t_pt = jnp.where(hit, t, f32(1.0))
+    px = ox + t_pt * dx + nx * eps_offset
+    py = oy + t_pt * dy + ny * eps_offset
+    pz = oz + t_pt * dz + nz * eps_offset
+
+    # emissive flag by material id (tiny unrolled select)
+    ef = jnp.zeros_like(t)
+    for k in range(n_mat):
+        ef = jnp.where(mid == f32(k), MATE[k], ef)
+    alive_sh = valid & hit & (ef < 0.5) & (mid >= 0.0)
+
+    # NEE light sample — identical streams/ops to K2's (and ops.fused's).
+    ul0, ul1, ul2, _ = _uniforms4(seed, pix, s, bb, rng_mod.LIGHT)
+    budget = ul0 * light_total
+    (lv0x, lv0y, lv0z, le1x, le1y, le1z, le2x, le2y, le2z,
+     _nx, _ny, _nz, _er, _eg, _eb, _c0) = LGT[0]
+    for e in range(1, n_light):
+        take = LGT[e - 1][15] <= budget
+        (v0x2, v0y2, v0z2, e1x2, e1y2, e1z2, e2x2, e2y2, e2z2,
+         *_rest) = LGT[e]
+        lv0x = jnp.where(take, v0x2, lv0x)
+        lv0y = jnp.where(take, v0y2, lv0y)
+        lv0z = jnp.where(take, v0z2, lv0z)
+        le1x = jnp.where(take, e1x2, le1x)
+        le1y = jnp.where(take, e1y2, le1y)
+        le1z = jnp.where(take, e1z2, le1z)
+        le2x = jnp.where(take, e2x2, le2x)
+        le2y = jnp.where(take, e2y2, le2y)
+        le2z = jnp.where(take, e2z2, le2z)
+    xw = 1.0 - jnp.sqrt(ul1)
+    w1 = (1.0 - xw) * ul2
+    w2 = (1.0 - xw) * (1.0 - ul2)
+    lpx = lv0x + w1 * le1x + w2 * le2x
+    lpy = lv0y + w1 * le1y + w2 * le2y
+    lpz = lv0z + w1 * le1z + w2 * le2z
+    tlx, tly, tlz = lpx - px, lpy - py, lpz - pz
+    dist = jnp.sqrt(jnp.maximum(tlx * tlx + tly * tly + tlz * tlz, 0.0))
+    invd = 1.0 / jnp.maximum(dist, 1e-20)
+    wlx, wly, wlz = tlx * invd, tly * invd, tlz * invd
+    lim = dist - shadow_tol
+
+    # shadow-segment-vs-gated-AABB predicate (same slack as _slab_crosses)
+    def sinv(v):
+        tiny = jnp.where(v < 0.0, f32(-1e-20), f32(1e-20))
+        return 1.0 / jnp.where(jnp.abs(v) < 1e-20, tiny, v)
+
+    ivx, ivy, ivz = sinv(wlx), sinv(wly), sinv(wlz)
+    tx0 = (glo[0] - px) * ivx
+    tx1 = (glo[3] - px) * ivx
+    ty0 = (glo[1] - py) * ivy
+    ty1 = (glo[4] - py) * ivy
+    tz0 = (glo[2] - pz) * ivz
+    tz1 = (glo[5] - pz) * ivz
+    t_in = jnp.maximum(jnp.maximum(jnp.minimum(tx0, tx1),
+                                   jnp.minimum(ty0, ty1)),
+                       jnp.minimum(tz0, tz1))
+    t_out = jnp.minimum(jnp.minimum(jnp.maximum(tx0, tx1),
+                                    jnp.maximum(ty0, ty1)),
+                        jnp.maximum(tz0, tz1))
+    hi_bound = lim * 1.000001 + 1e-5
+    crosses = ((t_out >= jnp.minimum(f32(t_min), 0.0)) & (t_in <= t_out)
+               & (t_in <= hi_bound))
+    pred_sh = alive_sh & crosses
+
+    out_ref[0] = t
+    out_ref[1] = nx
+    out_ref[2] = ny
+    out_ref[3] = nz
+    out_ref[4] = mid
+    out_ref[5] = px
+    out_ref[6] = py
+    out_ref[7] = pz
+    out_ref[8] = wlx
+    out_ref[9] = wly
+    out_ref[10] = wlz
+    out_ref[11] = lim
+    out_ref[12] = pred_sh.astype(f32)
 
 
 # --------------------------------------------------------------------------
@@ -859,10 +989,15 @@ def _run_steps(stri, ssph, mat, light, sky, smc_tri, smc_aabb, gate_lo,
                cap_main, cap_shadow, cs, n_clusters, interpret):
     rp = sf.shape[1] * 128
     g = sf.shape[1] // SUB
-    emissive_tab = mat[:, 6]
 
     k1 = functools.partial(_k1_kernel, n_stri=n_stri, n_sph=n_sph,
                            t_min=t_min)
+    k1b = functools.partial(
+        _k1b_kernel, n_light=n_light, n_mat=n_mat, n_pix=n_pix,
+        t_min=t_min, eps_offset=eps_offset, shadow_tol=shadow_tol)
+    glo8 = jnp.concatenate(
+        [jnp.asarray(gate_lo, jnp.float32), jnp.asarray(gate_hi, jnp.float32),
+         jnp.zeros((2,), jnp.float32)]).reshape(1, 8)
     k2 = functools.partial(
         _k2_kernel, n_stri=n_stri, n_sph=n_sph, n_light=n_light,
         n_mat=n_mat, width=width, height=height, n_pix=n_pix, t_min=t_min,
@@ -891,19 +1026,16 @@ def _run_steps(stri, ssph, mat, light, sky, smc_tri, smc_aabb, gate_lo,
             out_shape=jax.ShapeDtypeStruct((5, rp // 128, 128), jnp.float32),
             interpret=interpret,
         )(stri, ssph, sf[0:6])
-        hfl = flat(hf)                                      # t nx ny nz mid
+        t_s = flat(hf)[0]
 
         # Mesh main pass: compact lanes whose segment reaches the gated AABB
-        # before the smalls winner, intersect via the packet cluster kernel,
-        # scatter the winners back, merge.
-        t_s = hfl[0]
+        # before the smalls winner, intersect via the SMEM cluster kernel,
+        # scatter the winners back.
         pred = valid & _slab_crosses(o.T, d.T, gate_lo, gate_hi, t_min, t_s)
         idx, of1 = _compact_indices(pred, cap_main, rp)
         gi = jnp.clip(idx, 0, rp - 1)
         # Padded slots get a guaranteed-miss ray (origin beyond the gated
-        # AABB, pointing away): whole padding blocks then fail the packet
-        # kernel's per-cluster cull instead of re-tracing a real lane's ray
-        # (the first on-chip run spent ~60% of its time on cap padding).
+        # AABB, pointing away): whole padding tiles then skip every cluster.
         live_m = (idx < rp)[None]
         far = jnp.asarray(gate_hi, jnp.float32) + 1.0
         ro = jnp.where(live_m, o[:, gi], far[:, None])       # (3, cap)
@@ -917,56 +1049,36 @@ def _run_steps(stri, ssph, mat, light, sky, smc_tri, smc_aabb, gate_lo,
         mesh = jnp.full((5, rp), np.float32(NO_HIT))
         mesh = mesh.at[1:5, :].set(0.0)
         mesh = mesh.at[:, idx].set(vals, mode="drop")
-        is_mesh = mesh[0] < t_s
-        t = jnp.where(is_mesh, mesh[0], t_s)
-        n_raw = jnp.where(is_mesh[None], mesh[1:4], hfl[1:4])
 
-        # Facing unit normal + shading point (assemble_hit semantics:
-        # normalize the table normal, flip toward the viewer, eps offset —
-        # intersect.py:207-213, Renderer.cpp:163-168).
-        inv_n = jax.lax.rsqrt(jnp.maximum(jnp.sum(n_raw * n_raw, 0), 1e-24))
-        n_unit = n_raw * inv_n[None]
-        front = jnp.sum(n_unit * d, 0) < 0.0
-        n_face = jnp.where(front[None], n_unit, -n_unit)
-        hitm = t < np.float32(NO_HIT)
-        t_pt = jnp.where(hitm, t, 1.0)
-        p = o + t_pt[None] * d + n_face * np.float32(eps_offset)
-        mid = jnp.where(is_mesh, mesh[4], hfl[4])
+        # K1b: merge + facing normal + shading point + NEE light sample +
+        # shadow predicate, fused (replaces ~4 ms of loose XLA per step).
+        k1b_out = pl.pallas_call(
+            k1b, grid=(g,),
+            in_specs=[
+                _smem_spec((1, 1)), _smem_spec(light.shape),
+                _smem_spec(mat.shape), _smem_spec((1, 8)),
+                _smem_spec((1, 8)),
+                _plane_spec(1), _plane_spec(6), _plane_spec(5),
+                _plane_spec(5), _plane_spec(2),
+            ],
+            out_specs=_plane_spec(13),
+            out_shape=jax.ShapeDtypeStruct((13, rp // 128, 128),
+                                           jnp.float32),
+            interpret=interpret,
+        )(seed, light, mat, sky.reshape(1, 8), glo8, pix_planes, sf[0:6],
+          hf, planes(mesh), si[0:2])
+        kb = flat(k1b_out)
 
-        # Shadow pass: the same pcg4d LIGHT draws as K2 -> sampled light
-        # point -> does the segment to it cross the gated AABB?
-        s_i, b_i = flat(si)[0], flat(si)[1]
-        ef = gather.take_rows(
-            emissive_tab[:, None],
-            jnp.clip(mid.astype(jnp.int32), 0, n_mat - 1))[:, 0]
-        alive_sh = valid & hitm & ~(ef > 0.5) & (mid >= 0.0)
-        ul = rng_mod.uniforms4(seed[0, 0], pixu, s_i, b_i, rng_mod.LIGHT)
-        budget = ul[0] * light[-1, 15]
-        li = jnp.sum(light[:, 15][None, :] <= budget[:, None], axis=-1)
-        li = jnp.clip(li, 0, n_light - 1)
-        # Tiny-table row select as a where-chain (the one-hot matmul
-        # measured ~3 ms at 800k lanes; this fuses to ~nothing).
-        lrow = jnp.broadcast_to(light[0], (rp, 16))
-        for e in range(1, n_light):
-            lrow = jnp.where((li >= e)[:, None], light[e], lrow)
-        xw = 1.0 - jnp.sqrt(ul[1])
-        w1 = (1.0 - xw) * ul[2]
-        w2 = (1.0 - xw) * (1.0 - ul[2])
-        lp = (lrow[:, 0:3] + w1[:, None] * lrow[:, 3:6]
-              + w2[:, None] * lrow[:, 6:9]).T               # (3, rp)
-        to_l = lp - p
-        dist = jnp.sqrt(jnp.maximum(jnp.sum(to_l * to_l, 0), 0.0))
-        wl = to_l / jnp.maximum(dist, 1e-20)[None]
-        pred_sh = alive_sh & _slab_crosses(p.T, wl.T, gate_lo, gate_hi,
-                                           t_min, dist - shadow_tol)
+        # Shadow pass: compact, SMEM occlusion kernel, scatter the flag.
+        pred_sh = kb[12] > 0.5
         idx2, of2 = _compact_indices(pred_sh, cap_shadow, rp)
         gi2 = jnp.clip(idx2, 0, rp - 1)
         live_s = (idx2 < rp)[None]
-        po = jnp.where(live_s, p[:, gi2], far[:, None])
-        pw = jnp.where(live_s, wl[:, gi2],
+        po = jnp.where(live_s, kb[5:8][:, gi2], far[:, None])
+        pw = jnp.where(live_s, kb[8:11][:, gi2],
                        jnp.asarray([0.0, 0.0, 1.0],
                                    jnp.float32)[:, None])
-        lim = jnp.where(live_s[0], dist[gi2] - shadow_tol, -1.0)
+        lim = jnp.where(live_s[0], kb[11][gi2], -1.0)
         occ_sub = _mesh_pass(smc_aabb, smc_tri,
                              jnp.concatenate([po, pw, lim[None]], 0),
                              n_clusters=n_clusters, cs=cs, t_min=t_min,
@@ -974,8 +1086,7 @@ def _run_steps(stri, ssph, mat, light, sky, smc_tri, smc_aabb, gate_lo,
         occ = jnp.zeros((1, rp), jnp.float32).at[:, idx2].set(
             occ_sub, mode="drop")
 
-        hf2 = planes(jnp.concatenate(
-            [t[None], n_face, mid[None], p, d], 0))         # (11, ., 128)
+        hf2 = planes(jnp.concatenate([kb[0:8], flat(sf[3:6])], 0))
 
         sf2, si2 = pl.pallas_call(
             k2, grid=(g,),

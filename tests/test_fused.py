@@ -103,3 +103,50 @@ def test_pack_scene_light_subset_matches_sampler():
     np.testing.assert_array_equal(
         np.asarray(fs.light[:, 15]), cdf_full[emissive_tri])
     np.testing.assert_array_equal(np.asarray(fs.sky[6]), cdf_full[-1])
+
+
+def test_fused_single_sample_gbuffer_parity():
+    """Single-path mode = the scan engine's equal-spp 1-sample estimator +
+    the Denoiser G-buffer, from the fused kernel (VERDICT r3 next #3)."""
+    import jax.numpy as jnp
+
+    from cpu_based_ray_tracer_tpu.models import denoiser as dn
+
+    scene = cornell.cornell_scene()
+    cam = cornell.cornell_camera()
+    cfg = RenderConfig(width=48, height=48, spp=1, max_depth=6,
+                       rr_survival=0.8)
+    key = rng.render_key(5)
+    fs = fused.pack_scene(scene)
+    c, p, n, pid, con = fused.single_sample_gbuffer(fs, cam, cfg, key, 3)
+    g = dn.render_gbuffer(scene, cam, cfg, key, 3, immediate_clamping=False)
+    h = w = 48
+    np.testing.assert_allclose(np.asarray(c).reshape(h, w, 3),
+                               np.asarray(g.color), rtol=2e-3, atol=2e-3)
+    np.testing.assert_array_equal(np.asarray(pid).reshape(h, w),
+                                  np.asarray(g.prim_id))
+    np.testing.assert_array_equal(np.asarray(con).reshape(h, w),
+                                  np.asarray(g.contributor))
+    np.testing.assert_allclose(np.asarray(p).reshape(h, w, 3),
+                               np.asarray(g.world_pos), rtol=1e-4, atol=1e-4)
+    # Normals only matter where the contributor flag is set (the fused
+    # kernel zeroes them on miss; assemble_hit leaves a defined-but-unused
+    # value there; every consumer masks by contributor).
+    mask = np.asarray(g.contributor)
+    np.testing.assert_allclose(
+        np.asarray(n).reshape(h, w, 3)[mask],
+        np.asarray(g.normal)[mask], rtol=1e-4, atol=1e-4)
+    # Equal-spp: exactly one completed sample per pixel.
+    # (n_done is internal; the color parity above is the observable gate.)
+
+
+def test_fused_single_sample_distinct_frames_differ():
+    scene = cornell.cornell_scene()
+    cam = cornell.cornell_camera()
+    cfg = RenderConfig(width=32, height=32, spp=1, max_depth=5,
+                       rr_survival=0.8)
+    key = rng.render_key(1)
+    fs = fused.pack_scene(scene)
+    c0, *_ = fused.single_sample_gbuffer(fs, cam, cfg, key, 0)
+    c1, *_ = fused.single_sample_gbuffer(fs, cam, cfg, key, 1)
+    assert np.abs(np.asarray(c0) - np.asarray(c1)).max() > 1e-3
