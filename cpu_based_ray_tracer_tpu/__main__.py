@@ -246,7 +246,8 @@ def cmd_artifacts(args):
     import runpy
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     sys.argv = ["make_goldens.py", "--tier", args.tier] + (
-        ["--cpu"] if args.cpu else [])
+        ["--cpu"] if args.cpu else []) + (
+        ["--check"] if getattr(args, "check", False) else [])
     runpy.run_path(os.path.join(root, "tools", "make_goldens.py"),
                    run_name="__main__")
 
@@ -309,6 +310,10 @@ def main(argv=None):
     a = sub.add_parser("artifacts", help="regenerate all golden artifacts")
     a.add_argument("--tier", default="test", choices=["test", "showcase",
                                                       "all"])
+    a.add_argument("--check", action="store_true",
+                   help="drift guard: re-render a fast showcase subset on "
+                        "the current backend and compare vs the committed "
+                        "artifacts (exit 1 on drift)")
     a.set_defaults(fn=cmd_artifacts)
 
     b = sub.add_parser("bench", help="headline benchmark JSON line")

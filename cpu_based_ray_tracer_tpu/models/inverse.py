@@ -44,15 +44,21 @@ def _with_albedo(scene: Scene, albedo: jax.Array) -> Scene:
 
 
 def render_with_albedo(scene: Scene, camera, cfg: RenderConfig, key,
-                       albedo: jax.Array) -> jax.Array:
-    """Forward model: the scene with its material albedo table swapped."""
-    return monte_carlo.render(_with_albedo(scene, albedo), camera, cfg, key)
+                       albedo: jax.Array, intersect_fn=None,
+                       nearest_t_fn=None) -> jax.Array:
+    """Forward model: the scene with its material albedo table swapped.
+    Optional accelerated intersectors (``models.mesh.make_intersect_fn``
+    with ``differentiable=True``) for mesh scenes."""
+    return monte_carlo.render(_with_albedo(scene, albedo), camera, cfg, key,
+                              intersect_fn=intersect_fn,
+                              nearest_t_fn=nearest_t_fn)
 
 
 def recover_albedo(scene: Scene, camera, cfg: RenderConfig, key,
                    target: jax.Array, *, n_steps: int = 80,
                    lr: float = 0.1,
-                   init_albedo: jax.Array | None = None) -> OptResult:
+                   init_albedo: jax.Array | None = None,
+                   intersect_fn=None, nearest_t_fn=None) -> OptResult:
     """Recover the material albedo table from a rendered target image.
 
     Albedos are parameterized through a sigmoid (logit space) so iterates
@@ -74,7 +80,8 @@ def recover_albedo(scene: Scene, camera, cfg: RenderConfig, key,
         return jnp.where(free[:, None], a, mats.albedo)
 
     def loss_fn(lg):
-        img = render_with_albedo(scene, camera, cfg, key, albedo_of(lg))
+        img = render_with_albedo(scene, camera, cfg, key, albedo_of(lg),
+                                 intersect_fn, nearest_t_fn)
         return jnp.mean((img - target) ** 2)
 
     opt = optax.adam(lr)
@@ -93,7 +100,8 @@ def recover_albedo(scene: Scene, camera, cfg: RenderConfig, key,
     albedo = albedo_of(logit)
     return OptResult(params=albedo, losses=jnp.stack(losses),
                      image=render_with_albedo(scene, camera, cfg, key,
-                                              albedo))
+                                              albedo, intersect_fn,
+                                              nearest_t_fn))
 
 
 def recover_emission(scene: Scene, camera, cfg: RenderConfig, key,

@@ -117,29 +117,54 @@ def _sort_order(bundle: MeshBundle, origin, direction):
     return jnp.argsort(oct_ * 64 + cell)
 
 
-def make_intersect_fn(bundle: MeshBundle, sort_rays: bool = False):
+def make_intersect_fn(bundle: MeshBundle, sort_rays: bool = False,
+                      differentiable: bool = False):
     """An ``intersect_fn(scene, o, d, t_min) -> Hit`` backed by the bundle's
     intersector (plus the brute-force sphere pass inside ``assemble_hit``).
 
     ``sort_rays``: reorder rays for block coherence before the packet
-    kernel (for incoherent bounce rays — the MC path sets it)."""
+    kernel (for incoherent bounce rays — the MC path sets it).
+    ``differentiable``: recompute the winning triangle's t with the
+    differentiable Möller-Trumbore at the (detached) winner index so the
+    Pallas kernel's output never carries gradient — detached traversal,
+    attached shading (SURVEY §7 step 6) through the ACCELERATED path
+    (VERDICT r3 next #5).  Adds one R-row gather; off on the forward-only
+    production path."""
 
     if bundle.method == "packet":
         clusters = bundle.clusters
 
         def fn(scene, origin, direction, t_min):
+            import jax
             import jax.numpy as jnp
 
+            from cpu_based_ray_tracer_tpu.ops import gather
+
+            # Detached traversal: the kernel picks the winner; gradients
+            # flow only through the recomputed shading quantities.  (A
+            # structurally-nonzero tangent on the rays would otherwise ask
+            # JAX for the pallas_call's JVP, which does not exist.)
+            origin_k = jax.lax.stop_gradient(origin)
+            direction_k = jax.lax.stop_gradient(direction)
             if sort_rays:
-                order = _sort_order(bundle, origin, direction)
+                order = _sort_order(bundle, origin_k, direction_k)
                 tt_s, idx_s = packet_ops.nearest(
-                    clusters, origin[order], direction[order], t_min)
+                    clusters, origin_k[order], direction_k[order], t_min)
                 inv = jnp.zeros_like(order).at[order].set(
                     jnp.arange(order.shape[0]))
                 tt, idx = tt_s[inv], idx_s[inv]
             else:
-                tt, idx = packet_ops.nearest(clusters, origin, direction,
-                                             t_min)
+                tt, idx = packet_ops.nearest(clusters, origin_k,
+                                             direction_k, t_min)
+            if differentiable:
+                tr = scene.triangles
+                j = jax.lax.stop_gradient(jnp.clip(idx, 0, tr.count - 1))
+                v0, e1, e2 = gather.take_packed(j, tr.v0, tr.e1, tr.e2)
+                t_rec, _, _ = intersect.moller_trumbore_single(
+                    origin, direction, v0, e1, e2)
+                # Same formulation as the kernel -> same value to fp
+                # rounding; the kernel's t then feeds nothing downstream.
+                tt = jnp.where(idx >= 0, t_rec, intersect.NO_HIT_T)
             return intersect.assemble_hit(scene, origin, direction, tt, idx,
                                           t_min)
 
@@ -168,6 +193,12 @@ def make_nearest_t_fn(bundle: MeshBundle, sort_rays: bool = False):
         clusters = bundle.clusters
 
         def fn(scene, origin, direction, t_min):
+            import jax
+
+            # Hard-visibility occlusion feeds a comparison only; detach so
+            # ray tangents never reach the pallas_call (no JVP defined).
+            origin = jax.lax.stop_gradient(origin)
+            direction = jax.lax.stop_gradient(direction)
             if sort_rays:
                 order = _sort_order(bundle, origin, direction)
                 tt_s, _ = packet_ops.nearest(clusters, origin[order],

@@ -284,6 +284,79 @@ def make_showcase_tier(manifest, only=None):
             _save("showcase", name, u8, m, manifest)
 
 
+def check_showcase(only=None) -> int:
+    """Showcase drift guard (VERDICT r3 weak #7 / next #10): re-render a
+    fast subset of the showcase artifacts on the CURRENT backend and compare
+    against the committed PNGs, so a TPU-side regression cannot hide behind
+    CPU-only CI.  Deterministic stages compare tightly at full resolution;
+    the MC check renders 64 SPP and compares 8x8-box-downsampled means
+    against the committed 1024-SPP image (noise-aware tolerance).  Returns
+    the number of failed checks (0 = no drift)."""
+    from cpu_based_ray_tracer_tpu.utils import image as im
+
+    d = os.path.join(GOLDEN_DIR, "showcase")
+    fails = 0
+
+    def compare(name, fresh_u8, mean_tol, p99_tol):
+        nonlocal fails
+        path = os.path.join(d, f"{name}.png")
+        if not os.path.isfile(path):
+            print(f"[check] {name}: MISSING committed artifact", flush=True)
+            fails += 1
+            return
+        ref = np.asarray(im.read_png(path), np.float32)
+        got = np.asarray(fresh_u8, np.float32)
+        if ref.shape != got.shape:
+            print(f"[check] {name}: shape {got.shape} != {ref.shape}")
+            fails += 1
+            return
+        diff = np.abs(ref - got)
+        mean, p99 = float(diff.mean()), float(np.percentile(diff, 99))
+        ok = mean <= mean_tol and p99 <= p99_tol
+        print(f"[check] {name}: mean|d|={mean:.3f} p99={p99:.1f} "
+              f"{'OK' if ok else 'DRIFT'}", flush=True)
+        fails += 0 if ok else 1
+
+    w, h = 883, 900
+
+    def want(name):
+        return only is None or only in name
+
+    if want("whitted"):
+        u8, _ = whitted(w, h)                      # deterministic
+        compare("whitted", u8, 0.5, 2.0)
+    if want("bunny"):
+        u8, _ = bunny_teapot(w, h)                 # deterministic
+        compare("bunny_teapot", u8, 0.5, 2.0)
+    if want("mc"):
+        eng = "wavefront" if jax.default_backend() == "cpu" else "turbo"
+        u8, _ = mc_cornell(w, h, 64, 0.8, engine=eng)
+        path = os.path.join(d, "mc_cornell_1024spp.png")
+        if os.path.isfile(path):
+            from cpu_based_ray_tracer_tpu.utils import image as im2
+            ref = np.asarray(im2.read_png(path), np.float32)
+            k = 8
+
+            def down(x):
+                hh = x.shape[0] // k * k
+                ww = x.shape[1] // k * k
+                return x[:hh, :ww].reshape(hh // k, k, ww // k, k, 3).mean(
+                    (1, 3))
+
+            diff = np.abs(down(ref) - down(np.asarray(u8, np.float32)))
+            mean, p99 = float(diff.mean()), float(np.percentile(diff, 99))
+            # 64-SPP tile means vs 1024-SPP: residual MC noise ~2/255.
+            ok = mean <= 2.5 and p99 <= 8.0
+            print(f"[check] mc_cornell(64spp vs 1024spp, 8x8 means): "
+                  f"mean|d|={mean:.3f} p99={p99:.1f} "
+                  f"{'OK' if ok else 'DRIFT'}", flush=True)
+            fails += 0 if ok else 1
+        else:
+            print("[check] mc_cornell_1024spp.png missing")
+            fails += 1
+    return fails
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--tier", choices=["test", "showcase", "all"],
@@ -291,11 +364,18 @@ def main():
     ap.add_argument("--only", default=None, help="substring filter")
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend")
+    ap.add_argument("--check", action="store_true",
+                    help="showcase drift guard: re-render a fast subset and "
+                         "compare against the committed artifacts")
     args = ap.parse_args()
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
     _imports()
     print("backend:", jax.default_backend(), flush=True)
+    if args.check:
+        fails = check_showcase(args.only)
+        print(f"showcase drift check: {fails} failure(s)", flush=True)
+        raise SystemExit(1 if fails else 0)
 
     for tier in (["test", "showcase"] if args.tier == "all" else [args.tier]):
         mpath = os.path.join(GOLDEN_DIR, tier, "MANIFEST.json")
