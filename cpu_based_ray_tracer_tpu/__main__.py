@@ -11,6 +11,7 @@ mainloop.cpp:57-66`` reaccumulate-on-move, here as an actual animation).
 Subcommands
 -----------
 render     one image of any stage:      --stage mc --spp 256 --out img.png
+           (stages: offline initial nppt whitted mesh mesh-mc mc denoiser)
            resumable MC accumulation:   --checkpoint state.npz (Ctrl-C safe)
 sweep      denoiser parameter matrix -> grid of PNGs + manifest
 fly        scripted WASD/mouse camera path through Cornell, denoised 1-SPP
@@ -85,6 +86,17 @@ def _render_stage(stage: str, cfg, key):
     if stage == "mesh":
         bundle = mesh_model.prepare(meshes.bunny_teapot_scene())
         img = mesh_model.render(bundle, meshes.bvh_stage_camera(), cfg)
+        return img, 1.0
+    if stage == "mesh-mc":
+        import jax
+        scene = cornell.cornell_mesh_scene()   # bunny (or stand-in) in box
+        cam = cornell.cornell_camera()
+        if jax.default_backend() != "cpu":
+            from cpu_based_ray_tracer_tpu.ops import fused_mesh
+            img = fused_mesh.render_turbo_mesh(scene, cam, cfg, key)
+        else:
+            bundle = mesh_model.prepare(scene, method="packet")
+            img = mesh_model.render_mc(bundle, cam, cfg, key)
         return img, 1.0
     if stage == "mc":
         import jax
@@ -270,7 +282,7 @@ def main(argv=None):
     r = sub.add_parser("render", help="render one stage to PNG/PPM")
     r.add_argument("--stage", default="mc",
                    choices=["offline", "initial", "nppt", "whitted", "mesh",
-                            "mc", "denoiser"])
+                            "mesh-mc", "mc", "denoiser"])
     r.add_argument("--width", type=int, default=400)
     r.add_argument("--height", type=int, default=400)
     r.add_argument("--spp", type=int, default=64)

@@ -1195,3 +1195,37 @@ def wavefront_steps_fused_mesh(mp: MeshPack, camera, cfg: RenderConfig, key,
         acc=v3(4), n_done=si2[2],
         nrays=state.nrays + jnp.int32(n_steps * r) + nsh)
     return new_state, overflow, npred
+
+
+def render_turbo_mesh(scene: Scene, camera, cfg: RenderConfig, key, *,
+                      min_spp: int | None = None,
+                      gate_mask: Optional[np.ndarray] = None,
+                      cluster_size: int = 128,
+                      interpret: bool | None = None):
+    """Mean linear radiance over an accelerated-mesh scene via the fused
+    mesh engine (equal-time progressive semantics like
+    ``monte_carlo.render_turbo``).  The compaction caps start tight and the
+    driver DOUBLES them and re-runs a chunk whenever overflow is reported,
+    so results are never silently wrong (see module docstring)."""
+    from cpu_based_ray_tracer_tpu.models import monte_carlo as mc
+
+    target = cfg.spp if min_spp is None else min_spp
+    mp = pack_mesh_scene(scene, gate_mask=gate_mask,
+                         cluster_size=cluster_size)
+    state = mc.wavefront_init(scene, camera, cfg, key)
+    rp = -(-state.s.shape[0] // LANES_PER_TILE) * LANES_PER_TILE
+    cap_main = cap_shadow = max(LANES_PER_TILE, rp // 8)
+    chunk = max(32, cfg.max_depth)
+    for _ in range(target * cfg.max_depth):
+        nxt, overflow, _np = wavefront_steps_fused_mesh(
+            mp, camera, cfg, key, state, chunk, cap_main=cap_main,
+            cap_shadow=cap_shadow, interpret=interpret)
+        if int(overflow) > 0:
+            # redo the chunk with doubled caps (state untouched on purpose)
+            cap_main = min(2 * cap_main, rp)
+            cap_shadow = min(2 * cap_shadow, rp)
+            continue
+        state = nxt
+        if int(jnp.min(state.n_done)) >= target:
+            break
+    return mc.wavefront_image(state, cfg)

@@ -125,3 +125,17 @@ def test_fused_mesh_image_converges_like_xla():
     a = np.asarray(mc.wavefront_image(st_x, cfg))
     b = np.asarray(mc.wavefront_image(st_f, cfg))
     np.testing.assert_allclose(a, b, rtol=2e-3, atol=2e-3)
+
+
+def test_render_turbo_mesh_adaptive_caps():
+    """The driver doubles overflowing caps and re-runs the chunk; the final
+    image is finite, lit, and every pixel reaches the target SPP."""
+    scene = _scene()
+    cam = cornell.cornell_camera()
+    cfg = RenderConfig(width=64, height=64, spp=2, max_depth=4,
+                       rr_survival=0.8)
+    img = np.asarray(fused_mesh.render_turbo_mesh(
+        scene, cam, cfg, rng.render_key(4),
+        gate_mask=np.arange(scene.triangles.count) >= 22, cluster_size=64))
+    assert np.isfinite(img).all()
+    assert img.max() > 0.05

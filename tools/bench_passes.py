@@ -170,6 +170,77 @@ def main():
             "seconds_per_step": dt / (3 * n_steps), "lanes": h * w}
         print("mcmesh:", P["mc_mesh_packet"], flush=True)
 
+    if "mcmeshfused" in want:
+        # The r4 fused mesh-MC engine (ops.fused_mesh): compaction + SMEM
+        # cluster kernels around K1/K1b/K2 (VERDICT r3 next #1).
+        from cpu_based_ray_tracer_tpu.ops import fused_mesh
+
+        scene = cornell.cornell_mesh_scene()
+        cam = cornell.cornell_camera()
+        cfg = RenderConfig(width=w, height=h, spp=8, max_depth=16,
+                           rr_survival=0.8)
+        mp = fused_mesh.pack_mesh_scene(scene)
+        rp = -(-h * w // 4096) * 4096
+        n_steps = 16
+        st = monte_carlo.wavefront_init(scene, cam, cfg, key)
+        st, of, _ = fused_mesh.wavefront_steps_fused_mesh(
+            mp, cam, cfg, key, st, n_steps, cap_main=rp // 8,
+            cap_shadow=rp // 12)
+        jax.block_until_ready(st.acc)
+        r0, t0 = int(np.asarray(st.nrays)), time.perf_counter()
+        for _ in range(3):
+            st, of, _ = fused_mesh.wavefront_steps_fused_mesh(
+                mp, cam, cfg, key, st, n_steps, cap_main=rp // 8,
+                cap_shadow=rp // 12)
+        jax.block_until_ready(st.acc)
+        dt = time.perf_counter() - t0
+        P["mc_mesh_fused"] = {
+            "rays_per_s": (int(np.asarray(st.nrays)) - r0) / dt,
+            "tris": int(scene.triangles.count),
+            "overflow": int(np.asarray(of)),
+            "seconds_per_step": dt / (3 * n_steps), "lanes": h * w}
+        print("mcmeshfused:", P["mc_mesh_fused"], flush=True)
+
+    if "denoiserfps" in want:
+        # Full Denoiser-stage frame (1-SPP fused G-buffer + atrous +
+        # temporal) — the real-time receipt (VERDICT r3 next #3).
+        params = dmodel.DenoiserParams()
+        scene, cam = cornell.cornell_scene(), cornell.cornell_camera()
+        cfg = RenderConfig(width=w, height=h, spp=1, max_depth=16,
+                           rr_survival=0.8)
+        step0 = jax.jit(lambda i: dmodel.render_frame(
+            scene, cam, cfg, key, i, None, params, engine="fused"))
+        color, prev = step0(0)
+        jax.block_until_ready(color)
+        step = jax.jit(lambda i, prev: dmodel.render_frame(
+            scene, cam, cfg, key, i, prev, params, engine="fused"))
+        color, prev = step(1, prev)
+        jax.block_until_ready(color)
+        t0 = time.perf_counter()
+        for i in range(2, 12):
+            color, prev = step(i, prev)
+        jax.block_until_ready(color)
+        dt = (time.perf_counter() - t0) / 10
+        P["denoiser_fused_frame"] = {
+            "seconds_per_frame": dt, "fps": 1.0 / dt, "lanes": h * w}
+        print("denoiserfps:", P["denoiser_fused_frame"], flush=True)
+
+    if "whittedfused" in want:
+        # Fused Whitted ray-tree kernel (ops.fused_whitted) — the stage's
+        # defining quality is interactivity (README.md:81-83); VERDICT r3
+        # next #7 target: >= 15 fps at the reference viewport.
+        from cpu_based_ray_tracer_tpu.ops import fused_whitted
+        from cpu_based_ray_tracer_tpu.scenes import whitted_scene
+
+        wscene = whitted_scene.whitted_scene()
+        wcam = whitted_scene.whitted_camera()
+        wcfg = RenderConfig(width=w, height=h)
+        f = jax.jit(lambda: fused_whitted.render_fused(wscene, wcam, wcfg))
+        dt = timeit(lambda: f()[0], n=10)
+        P["whitted_fused"] = {"seconds_per_frame": dt, "fps": 1.0 / dt,
+                              "lanes": h * w}
+        print("whittedfused:", P["whitted_fused"], flush=True)
+
     if "packet" in want:
         # Intersector-level packet-vs-brute receipt at BVH-stage scale (the
         # "~6-7x dense brute force" claim of models/mesh.py).
