@@ -147,6 +147,34 @@ def main():
     print(json.dumps({"metric": "mc_cornell_xla_wavefront", "value": xla_rays,
                       "unit": "rays/s", "ms_per_step": round(xla_ms, 4)}))
 
+    # Mesh-MC secondary: the fused compaction engine over the accelerated
+    # bunny-in-Cornell (the reference MC stage's BVH-backed architecture;
+    # 9.2 Mray/s in r3 via the XLA+packet path).
+    from cpu_based_ray_tracer_tpu.ops import fused_mesh
+
+    mscene = cornell.cornell_mesh_scene()
+    mp = fused_mesh.pack_mesh_scene(mscene)
+    rp = -(-cfg.height * cfg.width // 4096) * 4096
+    mstate = monte_carlo.wavefront_init(mscene, camera, cfg, key)
+    mstate, mof, _ = fused_mesh.wavefront_steps_fused_mesh(
+        mp, camera, cfg, key, mstate, 16, cap_main=rp // 8,
+        cap_shadow=rp // 12)
+    jax.block_until_ready(mstate.acc)          # compile + warm-up
+    import dataclasses as _dc
+    mstate = _dc.replace(mstate, nrays=mstate.nrays * 0)
+    t0 = time.perf_counter()
+    for _ in range(3):
+        mstate, mof, _ = fused_mesh.wavefront_steps_fused_mesh(
+            mp, camera, cfg, key, mstate, 16, cap_main=rp // 8,
+            cap_shadow=rp // 12)
+    jax.block_until_ready(mstate.acc)
+    mdt = time.perf_counter() - t0
+    print(json.dumps({"metric": "mc_bunny_mesh_fused",
+                      "value": int(np.asarray(mstate.nrays)) / mdt,
+                      "unit": "rays/s",
+                      "tris": int(mscene.triangles.count),
+                      "overflow": int(np.asarray(mof))}))
+
     # Headline: fused Pallas persistent-wavefront kernel.
     fs = fused.pack_scene(scene)
     n_steps = 256
