@@ -466,6 +466,29 @@ def render_turbo(scene: Scene, camera, cfg: RenderConfig, key,
     return wavefront_image(state, cfg)
 
 
+def render_turbo_exact(scene: Scene, camera, cfg: RenderConfig, key
+                       ) -> jax.Array:
+    """Mean linear radiance via the fused kernel in EQUAL-SPP mode
+    (``stop_after=cfg.spp``): every pixel completes exactly ``cfg.spp``
+    samples and then idles, so this is the reference's fixed-spp estimator
+    bit-compatible with ``render``/``render_wavefront`` (same pcg4d
+    streams) — none of ``render_turbo``'s stopping-time bias, at fused-
+    kernel speed (utilization decays only over the final tail chunk).
+    Forward-only."""
+    from cpu_based_ray_tracer_tpu.ops import fused
+
+    fs = fused.pack_scene(scene)
+    state = wavefront_init(scene, camera, cfg, key)
+    chunk = max(32, cfg.max_depth)
+    stepper = jax.jit(lambda st: fused.wavefront_steps_fused(
+        fs, camera, cfg, key, st, chunk, stop_after=cfg.spp))
+    for _ in range(cfg.spp * cfg.max_depth):
+        state = stepper(state)
+        if int(jnp.min(state.n_done)) >= cfg.spp:
+            break
+    return (state.acc / cfg.spp).reshape(cfg.height, cfg.width, 3)
+
+
 def count_rays(scene: Scene, camera, cfg: RenderConfig, key) -> jax.Array:
     """Total rays traced for one sample pass (for the rays/s benchmark)."""
     seed = rng.seed_from_key(key)

@@ -204,7 +204,8 @@ def _kernel(seed_ref, cam_ref, tri_ref, sph_ref, light_ref, sky_ref,
             n_tri: int, n_sph: int, n_light: int, n_steps: int,
             width: int, height: int, n_pix: int, t_min: float,
             eps_offset: float, rr_survival: float, shadow_tol: float,
-            max_depth: int, single_path: bool = False):
+            max_depth: int, single_path: bool = False,
+            stop_after: int = 0):
     f32 = jnp.float32
     seed = seed_ref[0, 0]
     # Hoisted SMEM scalars (SSA values shared by every step).
@@ -244,12 +245,15 @@ def _kernel(seed_ref, cam_ref, tri_ref, sph_ref, light_ref, sky_ref,
     def step(step_i, carry):
         (s, bb, ox, oy, oz, dx, dy, dz, tpx, tpy, tpz,
          cux, cuy, cuz, axp, ayp, azp, nd, nsh) = carry
-        # Single-path mode (the Denoiser stage's 1-SPP G-buffer frame):
-        # a lane whose sample completed goes idle instead of regenerating,
-        # so every pixel gets EXACTLY one sample of its (pixel, s) stream —
-        # the scan engine's equal-spp semantics at fused-kernel speed.
-        armed = (nd == 0) if single_path else None
-        alive0 = (valid & armed) if single_path else valid
+        # Equal-spp mode (stop_after > 0): a lane that has completed its
+        # quota goes idle instead of regenerating, so every pixel gets
+        # EXACTLY stop_after samples of its (pixel, s) streams — the scan
+        # engine's fixed-spp estimator at fused-kernel speed (single_path
+        # additionally emits the G-buffer and pins s, the Denoiser frame).
+        gated = single_path or stop_after > 0
+        quota = 1 if single_path else stop_after
+        armed = (nd < quota) if gated else None
+        alive0 = (valid & armed) if gated else valid
 
         # --- main intersect: unrolled MT over triangles (+ spheres) -------
         # (An NCHAIN-interleaved winner-chain + associative one-hot attr
@@ -512,7 +516,7 @@ def _kernel(seed_ref, cam_ref, tri_ref, sph_ref, light_ref, sky_ref,
 
         # --- persistent-wavefront bookkeeping (wavefront_steps) -----------
         cont = continues & (bb + 1 < max_depth)
-        done = (~cont & armed) if single_path else ~cont
+        done = (~cont & armed) if gated else ~cont
         axp = axp + jnp.where(done, cux, 0.0)
         ayp = ayp + jnp.where(done, cuy, 0.0)
         azp = azp + jnp.where(done, cuz, 0.0)
@@ -558,11 +562,12 @@ def _kernel(seed_ref, cam_ref, tri_ref, sph_ref, light_ref, sky_ref,
     jax.jit, static_argnames=("n_tri", "n_sph", "n_light", "n_steps",
                               "width", "height", "n_pix", "t_min",
                               "eps_offset", "rr_survival", "shadow_tol",
-                              "max_depth", "single_path", "interpret"))
+                              "max_depth", "single_path", "stop_after",
+                              "interpret"))
 def _run(fs_tri, fs_sph, fs_light, fs_sky, seed, cam16, pix_planes,
          pxy_planes, sf, si, *, n_tri, n_sph, n_light, n_steps, width,
          height, n_pix, t_min, eps_offset, rr_survival, shadow_tol,
-         max_depth, single_path=False, interpret=False):
+         max_depth, single_path=False, stop_after=0, interpret=False):
     p = sf.shape[1]
     g = p // SUB
     fs_sky = fs_sky.reshape(1, 8)
@@ -570,7 +575,8 @@ def _run(fs_tri, fs_sph, fs_light, fs_sky, seed, cam16, pix_planes,
         _kernel, n_tri=n_tri, n_sph=n_sph, n_light=n_light, n_steps=n_steps,
         width=width, height=height, n_pix=n_pix, t_min=t_min,
         eps_offset=eps_offset, rr_survival=rr_survival,
-        shadow_tol=shadow_tol, max_depth=max_depth, single_path=single_path)
+        shadow_tol=shadow_tol, max_depth=max_depth, single_path=single_path,
+        stop_after=stop_after)
     out_specs = [
         pl.BlockSpec((15, SUB, 128), lambda i: (0, i, 0),
                      memory_space=pltpu.VMEM),
@@ -625,7 +631,7 @@ def _ceil_to(x: int, m: int) -> int:
 
 
 def wavefront_steps_fused(fs: FusedScene, camera, cfg: RenderConfig, key,
-                          state, n_steps: int, *,
+                          state, n_steps: int, *, stop_after: int = 0,
                           interpret: bool | None = None):
     """Drop-in fused equivalent of ``monte_carlo.wavefront_steps``.
 
@@ -676,7 +682,8 @@ def wavefront_steps_fused(fs: FusedScene, camera, cfg: RenderConfig, key,
         eps_offset=float(cfg.eps_offset),
         rr_survival=float(cfg.rr_survival),
         shadow_tol=float(cfg.shadow_tolerance),
-        max_depth=int(cfg.max_depth), interpret=bool(interpret))
+        max_depth=int(cfg.max_depth), stop_after=int(stop_after),
+        interpret=bool(interpret))
 
     sf2 = sf2.reshape(15, rp)[:, :r]
     si2 = si2.reshape(4, rp)[:, :r]

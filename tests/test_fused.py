@@ -150,3 +150,17 @@ def test_fused_single_sample_distinct_frames_differ():
     c0, *_ = fused.single_sample_gbuffer(fs, cam, cfg, key, 0)
     c1, *_ = fused.single_sample_gbuffer(fs, cam, cfg, key, 1)
     assert np.abs(np.asarray(c0) - np.asarray(c1)).max() > 1e-3
+
+
+def test_fused_equal_spp_matches_scan_engine():
+    """stop_after mode: the fused kernel's EXACT fixed-spp estimator
+    (advisor r3: render_turbo's equal-time stop rule carries a small
+    stopping-time bias; this mode has none)."""
+    scene = cornell.cornell_scene()
+    cam = cornell.cornell_camera()
+    cfg = RenderConfig(width=32, height=32, spp=3, max_depth=5,
+                       rr_survival=0.8)
+    key = rng.render_key(8)
+    ref = np.asarray(mc.render(scene, cam, cfg, key))
+    got = np.asarray(mc.render_turbo_exact(scene, cam, cfg, key))
+    np.testing.assert_allclose(got, ref, rtol=2e-3, atol=2e-3)

@@ -143,6 +143,35 @@ def bunny_teapot(w, h, method="auto"):
                                      method=bundle.method)
 
 
+def mc_bunny_cornell(w, h, spp, rr=0.8):
+    """MC path tracing over the ACCELERATED mesh scene (the real bunny in
+    the Cornell box when the reference checkout is present): the reference
+    MC stage's BVH-backed-for-every-ray architecture
+    (``Monte Carlo Path Tracer/.../Renderer.cpp:41``).  Fused mesh engine
+    on accelerators (equal-time progressive, every pixel >= spp), XLA
+    packet engine on CPU (equal-spp)."""
+    from cpu_based_ray_tracer_tpu.config import RenderConfig
+    from cpu_based_ray_tracer_tpu.models import mesh as mesh_model
+    from cpu_based_ray_tracer_tpu.scenes import cornell
+    from cpu_based_ray_tracer_tpu.utils import rng
+
+    scene = cornell.cornell_mesh_scene()
+    cam = cornell.cornell_camera()
+    cfg = RenderConfig(width=w, height=h, spp=spp, max_depth=16,
+                       rr_survival=rr)
+    key = rng.render_key(0)
+    if jax.default_backend() != "cpu":
+        from cpu_based_ray_tracer_tpu.ops import fused_mesh
+        img = fused_mesh.render_turbo_mesh(scene, cam, cfg, key)
+        engine = "fused_mesh"
+    else:
+        bundle = mesh_model.prepare(scene, method="packet")
+        img = mesh_model.render_mc(bundle, cam, cfg, key)
+        engine = "packet"
+    return _u8(img, gamma=1.0), dict(
+        spp=spp, rr=rr, tris=int(scene.triangles.count), engine=engine)
+
+
 def mc_cornell(w, h, spp, rr, chunk_spp=32, engine="wavefront"):
     """MC Cornell (the north star): NEE + RR path tracing, progressive
     accumulation (``Monte Carlo Path Tracer/.../Renderer.cpp:136-214``).
@@ -279,6 +308,9 @@ def make_showcase_tier(manifest, only=None):
             u8, m = mc_cornell(w, h, 300, rr, chunk_spp=50, engine=eng)
             _save("showcase", f"mc_cornell_rr{int(rr * 100)}_300spp",
                   u8, m, manifest)
+    if want("meshmc"):
+        u8, m = mc_bunny_cornell(w, h, 256)
+        _save("showcase", "mc_bunny_cornell_256spp", u8, m, manifest)
     if want("denoiser"):
         for name, (u8, m) in denoiser_triple(w, h).items():
             _save("showcase", name, u8, m, manifest)
