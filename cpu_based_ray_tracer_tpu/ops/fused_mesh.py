@@ -61,7 +61,6 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from cpu_based_ray_tracer_tpu import camera as cam_mod
 from cpu_based_ray_tracer_tpu.config import RenderConfig
 from cpu_based_ray_tracer_tpu.ops import gather
 from cpu_based_ray_tracer_tpu.ops import packet as packet_ops
