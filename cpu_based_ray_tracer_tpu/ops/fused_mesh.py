@@ -1123,13 +1123,20 @@ def wavefront_steps_fused_mesh(mp: MeshPack, camera, cfg: RenderConfig, key,
                                state, n_steps: int, *,
                                cap_main: int | None = None,
                                cap_shadow: int | None = None,
+                               pixel_offset: int = 0,
                                interpret: bool | None = None):
     """Drop-in fused-mesh equivalent of ``monte_carlo.wavefront_steps``
     driven through ``models.mesh.make_intersect_fn`` — returns the advanced
     ``WavefrontState`` plus an overflow count (0 = every mesh-crossing lane
-    was tested; >0 = raise the caps and re-run, results are invalid).
+    was tested; >0 = raise the caps and re-run, results are invalid) and
+    the per-call predicate populations.
 
-    Forward-only; ``interpret`` defaults to True off-TPU."""
+    ``pixel_offset``: absolute index of the state's first lane — a row-major
+    slab of the image steps EXACTLY like the same lanes of the full image
+    (the RNG hashes absolute pixel ids and every mesh decision is lane-
+    local), so slab states compose bit-exactly: the property the sharded
+    stepper (``parallel.shard.wavefront_steps_fused_mesh_sharded``) builds
+    on.  Forward-only; ``interpret`` defaults to True off-TPU."""
     from cpu_based_ray_tracer_tpu.models import monte_carlo as mc
 
     if cfg.soft_shadow_beta > 0.0:
@@ -1140,8 +1147,6 @@ def wavefront_steps_fused_mesh(mp: MeshPack, camera, cfg: RenderConfig, key,
         interpret = jax.default_backend() == "cpu"
     n_pix = cfg.height * cfg.width
     r = state.s.shape[0]
-    if r != n_pix:
-        raise ValueError("fused mesh stepper expects full-image lane state")
     rp = -(-r // LANES_PER_TILE) * LANES_PER_TILE
     # Compact buffers are processed in (SUB, 128)-lane kernel tiles.
     if cap_main is None:
@@ -1159,7 +1164,9 @@ def wavefront_steps_fused_mesh(mp: MeshPack, camera, cfg: RenderConfig, key,
                 [x, jnp.full((rp - r,) + x.shape[1:], fill, x.dtype)], 0)
         return x
 
-    pixel = plane(jnp.arange(r, dtype=jnp.uint32), fill=jnp.uint32(n_pix))
+    pixel = plane(jnp.arange(r, dtype=jnp.uint32)
+                  + jnp.asarray(pixel_offset, jnp.uint32),
+                  fill=jnp.uint32(n_pix))
     pix_planes = pixel.reshape(1, rp // 128, 128)
     pxy = jnp.stack([(pixel % jnp.uint32(cfg.width)).astype(jnp.float32),
                      (pixel // jnp.uint32(cfg.width)).astype(jnp.float32)], 0)

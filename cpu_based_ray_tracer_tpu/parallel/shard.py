@@ -143,3 +143,43 @@ def wavefront_steps_sharded(scene: Scene, camera, cfg: RenderConfig, key,
             out, nrays=st.nrays + jax.lax.psum(out.nrays, axis))
 
     return body(scene, camera, key, state)
+
+
+def wavefront_steps_fused_mesh_sharded(mp, camera, cfg: RenderConfig, key,
+                                       state: monte_carlo.WavefrontState,
+                                       n_steps: int, mesh,
+                                       axis: str = TILE_AXIS, *,
+                                       cap_main: int | None = None,
+                                       cap_shadow: int | None = None):
+    """The FUSED mesh-MC engine (``ops.fused_mesh``) over a sharded lane
+    state: each device advances its row slab independently (compaction,
+    Pallas kernels and all — every mesh decision is lane-local and the RNG
+    hashes absolute pixel ids, so per-device slabs are bit-identical to the
+    same lanes of an unsharded run).  The only collective is one scalar
+    psum of the overflow count per call so ANY device's cap overflow is
+    visible to the (replicated) driver.
+
+    Returns ``(state, overflow)``; the honest ray counter follows
+    ``wavefront_steps_sharded``'s convention (per-device deltas psummed
+    into the carried counter)."""
+    import dataclasses
+
+    from cpu_based_ray_tracer_tpu.ops import fused_mesh
+
+    per = _lanes_per_device(cfg, mesh, axis)
+    specs = _state_specs(axis)
+
+    @partial(shard_map, mesh=mesh, in_specs=(P(), P(), specs),
+             out_specs=(specs, P()), check_vma=False)
+    def body(camera_, key_, st):
+        i = jax.lax.axis_index(axis)
+        local = dataclasses.replace(st, nrays=jnp.zeros_like(st.nrays))
+        out, overflow, _np = fused_mesh.wavefront_steps_fused_mesh(
+            mp, camera_, cfg, key_, local, n_steps, cap_main=cap_main,
+            cap_shadow=cap_shadow, pixel_offset=i * per)
+        out = dataclasses.replace(
+            out, nrays=st.nrays + jax.lax.psum(out.nrays, axis))
+        return out, jax.lax.psum(overflow, axis)[None]
+
+    st2, overflow = body(camera, key, state)
+    return st2, overflow[0]

@@ -139,3 +139,70 @@ def test_render_turbo_mesh_adaptive_caps():
         gate_mask=np.arange(scene.triangles.count) >= 22, cluster_size=64))
     assert np.isfinite(img).all()
     assert img.max() > 0.05
+
+
+def test_fused_mesh_slab_composition_bit_exact():
+    """A row slab with pixel_offset steps EXACTLY like the same lanes of
+    the full image — the property the sharded stepper builds on."""
+    import dataclasses
+
+    scene = _scene()
+    cam = cornell.cornell_camera()
+    cfg = RenderConfig(width=48, height=48, spp=2, max_depth=3,
+                       rr_survival=0.8)
+    key = rng.render_key(6)
+    n = scene.triangles.count
+    mp = fused_mesh.pack_mesh_scene(scene, gate_mask=np.arange(n) >= 22,
+                                    cluster_size=64)
+    st = mc.wavefront_init(scene, cam, cfg, key)
+    full, of, _ = fused_mesh.wavefront_steps_fused_mesh(
+        mp, cam, cfg, key, st, 3)
+    assert int(of) == 0
+
+    half = st.s.shape[0] // 2
+    takes = [slice(0, half), slice(half, None)]
+    parts = []
+    for k, sl in enumerate(takes):
+        sub = dataclasses.replace(
+            st, s=st.s[sl], b=st.b[sl], o=st.o[sl], d=st.d[sl],
+            tp=st.tp[sl], cur=st.cur[sl], acc=st.acc[sl],
+            n_done=st.n_done[sl])
+        out, of2, _ = fused_mesh.wavefront_steps_fused_mesh(
+            mp, cam, cfg, key, sub, 3, pixel_offset=k * half)
+        assert int(of2) == 0
+        parts.append(out)
+    np.testing.assert_array_equal(
+        np.asarray(full.acc),
+        np.concatenate([np.asarray(p.acc) for p in parts]))
+    np.testing.assert_array_equal(
+        np.asarray(full.n_done),
+        np.concatenate([np.asarray(p.n_done) for p in parts]))
+
+
+def test_fused_mesh_sharded_equals_unsharded():
+    from cpu_based_ray_tracer_tpu.parallel import mesh as pmesh
+    from cpu_based_ray_tracer_tpu.parallel import shard
+
+    scene = _scene()
+    cam = cornell.cornell_camera()
+    cfg = RenderConfig(width=32, height=32, spp=2, max_depth=3,
+                       rr_survival=0.8)
+    key = rng.render_key(5)
+    n = scene.triangles.count
+    mp = fused_mesh.pack_mesh_scene(scene, gate_mask=np.arange(n) >= 22,
+                                    cluster_size=64)
+
+    st0 = mc.wavefront_init(scene, cam, cfg, key)
+    ref, of, _ = fused_mesh.wavefront_steps_fused_mesh(
+        mp, cam, cfg, key, st0, 3)
+    assert int(of) == 0
+
+    m = pmesh.make_mesh()
+    st_sh = shard.wavefront_init_sharded(scene, cam, cfg, key, m)
+    out, of_sh = shard.wavefront_steps_fused_mesh_sharded(
+        mp, cam, cfg, key, st_sh, 3, m)
+    assert int(of_sh) == 0
+    np.testing.assert_array_equal(np.asarray(ref.n_done),
+                                  np.asarray(out.n_done))
+    np.testing.assert_array_equal(np.asarray(ref.acc), np.asarray(out.acc))
+    assert int(ref.nrays) == int(out.nrays)
