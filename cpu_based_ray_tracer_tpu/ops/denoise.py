@@ -192,14 +192,22 @@ def _box_sum(x: jax.Array, k: int) -> jax.Array:
     x: (H, W, C).  Exact (integral-image style, O(H*W))."""
 
     def along(a, axis):
+        # result[i] = c[min(i+k+1, n)] - c[max(i-k, 0)] where c is the
+        # exclusive prefix sum — expressed as PADS + SLICES (a take with
+        # clipped indices lowers to a gather, ~2.8 ms per call at 896^2 on
+        # TPU; the slice form is ~free and bit-identical).
         n = a.shape[axis]
         c = jnp.cumsum(a, axis=axis)
         zero = jnp.zeros_like(jax.lax.slice_in_dim(c, 0, 1, axis=axis))
         c = jnp.concatenate([zero, c], axis=axis)           # c[i] = sum(<i)
-        idx = jnp.arange(n)
-        hi = jnp.clip(idx + k + 1, 0, n)
-        lo = jnp.clip(idx - k, 0, n)
-        return (jnp.take(c, hi, axis=axis) - jnp.take(c, lo, axis=axis))
+        last = jax.lax.slice_in_dim(c, n, n + 1, axis=axis)
+        reps = [1] * c.ndim
+        reps[axis] = k
+        cp = jnp.concatenate([c, jnp.tile(last, reps)], axis=axis)
+        up = jax.lax.slice_in_dim(cp, k + 1, k + 1 + n, axis=axis)
+        cl = jnp.concatenate([jnp.tile(zero, reps), c], axis=axis)
+        lo = jax.lax.slice_in_dim(cl, 0, n, axis=axis)
+        return up - lo
 
     return along(along(x, 0), 1)
 
@@ -215,8 +223,11 @@ def reproject(world_pos: jax.Array, view: jax.Array, proj: jax.Array,
     # reprojected pixel coordinates by ~0.4% (several pixels at 900px) and
     # break the primitive-id test (same class of bug as ops.gather r3).
     pv = jnp.matmul(proj, view, precision=jax.lax.Precision.HIGHEST)
-    clip = jnp.einsum("ij,...j->...i", pv, p,
-                      precision=jax.lax.Precision.HIGHEST)
+    # 4x4 transform as explicit fused multiply-adds: a HIGHEST-precision
+    # einsum at (H, W, 4) lowers to a multi-pass f32 matmul (~3.4 ms at
+    # 896^2); the unrolled form is exact f32 and fuses to ~nothing.
+    clip = jnp.stack([sum(pv[i, j] * p[..., j] for j in range(4))
+                      for i in range(4)], -1)
     ndc = clip[..., :3] / jnp.where(jnp.abs(clip[..., 3:4]) > 1e-20,
                                     clip[..., 3:4], 1e-20)
     screen_x = (ndc[..., 0] + 1.0) * 0.5
@@ -239,8 +250,15 @@ def temporal(cur: GBuffer, prev: GBuffer, half_size: int, tolerance: float,
     iy = jnp.clip(py.astype(jnp.int32), 0, h - 1)
     ix = jnp.clip(px.astype(jnp.int32), 0, w - 1)
 
-    prev_id = prev.prim_id[iy, ix]
-    prev_color = prev.color[iy, ix]
+    # One packed flattened take (a 2-D fancy gather costs ~1.5x more and
+    # two of them, ~2x, on TPU).
+    flat = (iy * w + ix).reshape(-1)
+    packed = jnp.concatenate(
+        [prev.color.reshape(-1, 3),
+         prev.prim_id.reshape(-1, 1).astype(cur.color.dtype)], 1)
+    taken = jnp.take(packed, flat, axis=0).reshape(h, w, 4)
+    prev_color = taken[..., 0:3]
+    prev_id = taken[..., 3].astype(prev.prim_id.dtype)
     valid = (cur.prim_id != -1) & in_bounds & (cur.prim_id == prev_id)
 
     # Window moments of the current frame (box sums; the reference's

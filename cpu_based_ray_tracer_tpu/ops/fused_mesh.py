@@ -980,12 +980,12 @@ def _slab_crosses(o, d, lo, hi, t_lo, t_hi):
         "n_stri", "n_sph", "n_light", "n_mat", "n_steps", "width", "height",
         "n_pix", "t_min", "eps_offset", "rr_survival", "shadow_tol",
         "max_depth", "cap_main", "cap_shadow", "cs", "n_clusters",
-        "interpret"))
+        "msub", "interpret"))
 def _run_steps(stri, ssph, mat, light, sky, smc_tri, smc_aabb, gate_lo,
                gate_hi, seed, cam16, pix_planes, pxy_planes, sf, si, *,
                n_stri, n_sph, n_light, n_mat, n_steps, width, height, n_pix,
                t_min, eps_offset, rr_survival, shadow_tol, max_depth,
-               cap_main, cap_shadow, cs, n_clusters, interpret):
+               cap_main, cap_shadow, cs, n_clusters, msub, interpret):
     rp = sf.shape[1] * 128
     g = sf.shape[1] // SUB
 
@@ -1044,7 +1044,8 @@ def _run_steps(stri, ssph, mat, light, sky, smc_tri, smc_aabb, gate_lo,
         vals = _mesh_pass(smc_aabb, smc_tri,
                           jnp.concatenate([ro, rd], 0),
                           n_clusters=n_clusters, cs=cs, t_min=t_min,
-                          occl=False, interpret=interpret)   # (5, cap)
+                          occl=False, msub=msub,
+                          interpret=interpret)               # (5, cap)
         mesh = jnp.full((5, rp), np.float32(NO_HIT))
         mesh = mesh.at[1:5, :].set(0.0)
         mesh = mesh.at[:, idx].set(vals, mode="drop")
@@ -1081,7 +1082,7 @@ def _run_steps(stri, ssph, mat, light, sky, smc_tri, smc_aabb, gate_lo,
         occ_sub = _mesh_pass(smc_aabb, smc_tri,
                              jnp.concatenate([po, pw, lim[None]], 0),
                              n_clusters=n_clusters, cs=cs, t_min=t_min,
-                             occl=True, interpret=interpret)
+                             occl=True, msub=msub, interpret=interpret)
         occ = jnp.zeros((1, rp), jnp.float32).at[:, idx2].set(
             occ_sub, mode="drop")
 
@@ -1124,6 +1125,7 @@ def wavefront_steps_fused_mesh(mp: MeshPack, camera, cfg: RenderConfig, key,
                                cap_main: int | None = None,
                                cap_shadow: int | None = None,
                                pixel_offset: int = 0,
+                               msub: int = SUB,
                                interpret: bool | None = None):
     """Drop-in fused-mesh equivalent of ``monte_carlo.wavefront_steps``
     driven through ``models.mesh.make_intersect_fn`` — returns the advanced
@@ -1153,8 +1155,9 @@ def wavefront_steps_fused_mesh(mp: MeshPack, camera, cfg: RenderConfig, key,
         cap_main = max(LANES_PER_TILE, rp // 4)
     if cap_shadow is None:
         cap_shadow = max(LANES_PER_TILE, rp // 4)
-    cap_main = -(-int(cap_main) // LANES_PER_TILE) * LANES_PER_TILE
-    cap_shadow = -(-int(cap_shadow) // LANES_PER_TILE) * LANES_PER_TILE
+    mesh_tile = max(int(msub) * 128, LANES_PER_TILE)
+    cap_main = -(-int(cap_main) // mesh_tile) * mesh_tile
+    cap_shadow = -(-int(cap_shadow) // mesh_tile) * mesh_tile
     seed = rng_mod.seed_from_key(key)[None, None].astype(jnp.uint32)
     cam16 = _camera_words(camera)[None, :]
 
@@ -1189,7 +1192,8 @@ def wavefront_steps_fused_mesh(mp: MeshPack, camera, cfg: RenderConfig, key,
         shadow_tol=float(cfg.shadow_tolerance),
         max_depth=int(cfg.max_depth), cap_main=int(cap_main),
         cap_shadow=int(cap_shadow), cs=mp.cs,
-        n_clusters=mp.smc_aabb.shape[0], interpret=bool(interpret))
+        n_clusters=mp.smc_aabb.shape[0], msub=int(msub),
+        interpret=bool(interpret))
 
     sf2 = sf2.reshape(15, rp)[:, :r]
     si2 = si2.reshape(4, rp)
