@@ -102,9 +102,11 @@ def _render_stage(stage: str, cfg, key):
         import jax
         scene, cam = cornell.cornell_scene(), cornell.cornell_camera()
         if jax.default_backend() != "cpu":
-            # Fused Pallas engine on accelerators (~3.5x; equal-time
-            # progressive, every pixel completes >= spp samples).
-            img = monte_carlo.render_turbo(scene, cam, cfg, key)
+            # Fused Pallas engine on accelerators in EQUAL-SPP mode: the
+            # reference's fixed-spp estimator, bit-compatible with the CPU
+            # engines (advisor r3: render_turbo's equal-time stop rule made
+            # TPU and CPU renders differ for the same seed/config).
+            img = monte_carlo.render_turbo_exact(scene, cam, cfg, key)
         else:
             img = monte_carlo.render_fast(scene, cam, cfg, key)
         return img, 1.0

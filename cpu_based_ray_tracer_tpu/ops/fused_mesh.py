@@ -85,6 +85,8 @@ class MeshPack(NamedTuple):
     sky: jax.Array       # (8,) f32: sky_bottom sky_top light_total pad
     smc_tri: jax.Array   # (C, CS*MESH_NF//128, 128) f32 cluster stream
     smc_aabb: jax.Array  # (C, 8) f32 cluster AABBs
+    smc_box_aabb: jax.Array  # (B, 8) f32 spatial box AABBs
+    boxes: tuple         # static ((c_start, c_end), ...) cluster ranges
     cs: int              # triangles per cluster (static)
     gate_lo: tuple                  # union AABB of the gated triangles
     gate_hi: tuple
@@ -193,7 +195,8 @@ def pack_mesh_scene(scene: Scene, gate_mask: Optional[np.ndarray] = None,
     return MeshPack(
         stri=jnp.asarray(stri), ssph=jnp.asarray(ssph), mat=jnp.asarray(mat),
         light=jnp.asarray(light), sky=jnp.asarray(sky),
-        smc_tri=smc.tri, smc_aabb=smc.aabb, cs=smc.cs,
+        smc_tri=smc.tri, smc_aabb=smc.aabb, smc_box_aabb=smc.box_aabb,
+        boxes=smc.boxes, cs=smc.cs,
         gate_lo=tuple(map(float, glo)), gate_hi=tuple(map(float, ghi)),
         n_stri=ns, n_sph=s, n_light=le, n_mat=k, gate_mask=gate_mask)
 
@@ -547,6 +550,13 @@ class SmemClusters(NamedTuple):
     tri: jax.Array    # (C, CS*MESH_NF//128, 128) f32 — lane-aligned rows
     aabb: jax.Array   # (C, 8) f32 min xyz / max xyz / pad
     cs: int
+    # Spatial BOX partition: clusters in BVH-leaf (preorder) order are
+    # spatially contiguous, so equal contiguous chunks are compact boxes.
+    # Compacted rays sorted by first-entered box make whole boxes skippable
+    # per kernel tile (the culling granularity a lane-synchronous machine
+    # can actually exploit).
+    box_aabb: jax.Array   # (B, 8) f32 union AABB per chunk
+    boxes: tuple          # static ((c_start, c_end), ...) cluster ranges
 
 
 def build_smem_clusters(verts: np.ndarray, normals: np.ndarray,
@@ -585,17 +595,33 @@ def build_smem_clusters(verts: np.ndarray, normals: np.ndarray,
         hi = tris[idx].reshape(-1, 3).max(0)
         aabb[ci, 0:3] = np.nextafter(lo.astype(np.float32), -np.inf)
         aabb[ci, 3:6] = np.nextafter(hi.astype(np.float32), np.inf)
+
+    n_box = int(min(8, c))
+    edges = np.linspace(0, c, n_box + 1).astype(int)
+    boxes = tuple((int(edges[b]), int(edges[b + 1])) for b in range(n_box))
+    box_aabb = np.zeros((n_box, 8), np.float32)
+    for b, (s0, s1) in enumerate(boxes):
+        box_aabb[b, 0:3] = aabb[s0:s1, 0:3].min(0)
+        box_aabb[b, 3:6] = aabb[s0:s1, 3:6].max(0)
     return SmemClusters(
         tri=jnp.asarray(rows.reshape(c, cs * MESH_NF // 128, 128)),
-        aabb=jnp.asarray(aabb), cs=cs)
+        aabb=jnp.asarray(aabb), cs=cs,
+        box_aabb=jnp.asarray(box_aabb), boxes=boxes)
 
 
-def _mesh_nearest_kernel(aabb_ref, rays_ref, tri_hbm, out_ref, tri_smem,
-                         sem, *, n_clusters: int, cs: int, t_min: float):
+def _mesh_nearest_kernel(box_ref, aabb_ref, rays_ref, tri_hbm, out_ref,
+                         tri_smem, sem, *, boxes: tuple, n_clusters: int,
+                         cs: int, t_min: float):
     """Nearest mesh hit for one (SUB, 128) tile of compacted rays.
 
-    Streams clusters HBM -> SMEM double-buffered; per cluster a slab test +
-    tile-any() cond skips the triangle math when no lane can improve."""
+    Clusters are grouped into contiguous spatial BOXES (BVH-leaf order);
+    each box runs under a tile-any() cond, so a tile whose rays (sorted by
+    first-entered box in the glue) never reach a box skips its whole
+    cluster range.  Within a box, clusters stream HBM -> SMEM double-
+    buffered with the per-cluster cull; the prefetch never crosses the box
+    boundary (a later box may be cond-skipped, and an orphaned in-flight
+    DMA leaves its semaphore signaled -> device abort, observed on-chip —
+    the interpreter's synchronous DMAs cannot catch it)."""
     f32 = jnp.float32
     ox, oy, oz = rays_ref[0], rays_ref[1], rays_ref[2]
     dx, dy, dz = rays_ref[3], rays_ref[4], rays_ref[5]
@@ -607,26 +633,16 @@ def _mesh_nearest_kernel(aabb_ref, rays_ref, tri_hbm, out_ref, tri_smem,
     ix, iy, iz = safe_inv(dx), safe_inv(dy), safe_inv(dz)
 
     def get_dma(slot, c):
-        return pltpu.make_async_copy(tri_hbm.at[c], tri_smem.at[slot], sem.at[slot])
-
-    get_dma(0, 0).start()
+        return pltpu.make_async_copy(tri_hbm.at[c], tri_smem.at[slot],
+                                     sem.at[slot])
 
     def at(slot, k, j):
         f = k * MESH_NF + j
         return tri_smem[slot, f // 128, f % 128]
 
-    def body(c, carry):
-        best_t, bnx, bny, bnz, bmid = carry
-        slot = jax.lax.rem(c, 2)
-
-        @pl.when(c + 1 < n_clusters)
-        def _():
-            get_dma(jax.lax.rem(c + 1, 2), c + 1).start()
-
-        get_dma(slot, c).wait()
-
-        bx0, by0, bz0 = aabb_ref[c, 0], aabb_ref[c, 1], aabb_ref[c, 2]
-        bx1, by1, bz1 = aabb_ref[c, 3], aabb_ref[c, 4], aabb_ref[c, 5]
+    def _slab6(ref, i):
+        bx0, by0, bz0 = ref[i, 0], ref[i, 1], ref[i, 2]
+        bx1, by1, bz1 = ref[i, 3], ref[i, 4], ref[i, 5]
         tx0 = (bx0 - ox) * ix
         tx1 = (bx1 - ox) * ix
         ty0 = (by0 - oy) * iy
@@ -639,44 +655,73 @@ def _mesh_nearest_kernel(aabb_ref, rays_ref, tri_hbm, out_ref, tri_smem,
         t_out = jnp.minimum(jnp.minimum(jnp.maximum(tx0, tx1),
                                         jnp.maximum(ty0, ty1)),
                             jnp.maximum(tz0, tz1))
-        live = (t_out >= 0.0) & (t_in <= t_out) & (t_in <= best_t)
+        return t_in, t_out
 
-        def hit(carry):
+    def make_body(c_end):
+        def body(c, carry):
             best_t, bnx, bny, bnz, bmid = carry
-            for k in range(cs):
-                v0x, v0y, v0z = at(slot, k, 0), at(slot, k, 1), at(slot, k, 2)
-                e1x, e1y, e1z = at(slot, k, 3), at(slot, k, 4), at(slot, k, 5)
-                e2x, e2y, e2z = at(slot, k, 6), at(slot, k, 7), at(slot, k, 8)
-                nx, ny, nz = at(slot, k, 9), at(slot, k, 10), at(slot, k, 11)
-                mid = at(slot, k, 12)
-                s1x = dy * e2z - dz * e2y
-                s1y = dz * e2x - dx * e2z
-                s1z = dx * e2y - dy * e2x
-                det = s1x * e1x + s1y * e1y + s1z * e1z
-                okd = jnp.abs(det) > _DET_EPS
-                inv = 1.0 / jnp.where(okd, det, f32(1.0))
-                sx, sy, sz = ox - v0x, oy - v0y, oz - v0z
-                s2x = sy * e1z - sz * e1y
-                s2y = sz * e1x - sx * e1z
-                s2z = sx * e1y - sy * e1x
-                t = (s2x * e2x + s2y * e2y + s2z * e2z) * inv
-                b1 = (s1x * sx + s1y * sy + s1z * sz) * inv
-                b2 = (s2x * dx + s2y * dy + s2z * dz) * inv
-                ok = (okd & (t > t_min) & (b1 >= 0.0) & (b2 >= 0.0)
-                      & (1.0 - b1 - b2 >= 0.0) & (t < best_t))
-                best_t = jnp.where(ok, t, best_t)
-                bnx = jnp.where(ok, nx, bnx)
-                bny = jnp.where(ok, ny, bny)
-                bnz = jnp.where(ok, nz, bnz)
-                bmid = jnp.where(ok, mid, bmid)
-            return best_t, bnx, bny, bnz, bmid
+            slot = jax.lax.rem(c, 2)
 
-        return jax.lax.cond(jnp.any(live), hit, lambda x: x,
-                            (best_t, bnx, bny, bnz, bmid))
+            @pl.when(c + 1 < c_end)
+            def _():
+                get_dma(jax.lax.rem(c + 1, 2), c + 1).start()
+
+            get_dma(slot, c).wait()
+
+            t_in, t_out = _slab6(aabb_ref, c)
+            live = (t_out >= 0.0) & (t_in <= t_out) & (t_in <= best_t)
+
+            def hit(carry):
+                best_t, bnx, bny, bnz, bmid = carry
+                for k in range(cs):
+                    v0x, v0y, v0z = (at(slot, k, 0), at(slot, k, 1),
+                                     at(slot, k, 2))
+                    e1x, e1y, e1z = (at(slot, k, 3), at(slot, k, 4),
+                                     at(slot, k, 5))
+                    e2x, e2y, e2z = (at(slot, k, 6), at(slot, k, 7),
+                                     at(slot, k, 8))
+                    nx, ny, nz = (at(slot, k, 9), at(slot, k, 10),
+                                  at(slot, k, 11))
+                    mid = at(slot, k, 12)
+                    s1x = dy * e2z - dz * e2y
+                    s1y = dz * e2x - dx * e2z
+                    s1z = dx * e2y - dy * e2x
+                    det = s1x * e1x + s1y * e1y + s1z * e1z
+                    okd = jnp.abs(det) > _DET_EPS
+                    inv = 1.0 / jnp.where(okd, det, f32(1.0))
+                    sx, sy, sz = ox - v0x, oy - v0y, oz - v0z
+                    s2x = sy * e1z - sz * e1y
+                    s2y = sz * e1x - sx * e1z
+                    s2z = sx * e1y - sy * e1x
+                    t = (s2x * e2x + s2y * e2y + s2z * e2z) * inv
+                    b1 = (s1x * sx + s1y * sy + s1z * sz) * inv
+                    b2 = (s2x * dx + s2y * dy + s2z * dz) * inv
+                    ok = (okd & (t > t_min) & (b1 >= 0.0) & (b2 >= 0.0)
+                          & (1.0 - b1 - b2 >= 0.0) & (t < best_t))
+                    best_t = jnp.where(ok, t, best_t)
+                    bnx = jnp.where(ok, nx, bnx)
+                    bny = jnp.where(ok, ny, bny)
+                    bnz = jnp.where(ok, nz, bnz)
+                    bmid = jnp.where(ok, mid, bmid)
+                return best_t, bnx, bny, bnz, bmid
+
+            return jax.lax.cond(jnp.any(live), hit, lambda x: x,
+                                (best_t, bnx, bny, bnz, bmid))
+
+        return body
 
     z = jnp.zeros(ox.shape, f32)
-    init = (jnp.full(ox.shape, f32(NO_HIT)), z, z, z, z - 1.0)
-    best_t, bnx, bny, bnz, bmid = jax.lax.fori_loop(0, n_clusters, body, init)
+    carry = (jnp.full(ox.shape, f32(NO_HIT)), z, z, z, z - 1.0)
+    for b, (c0, c1) in enumerate(boxes):
+        bt_in, bt_out = _slab6(box_ref, b)
+        box_live = (bt_out >= 0.0) & (bt_in <= bt_out) & (bt_in <= carry[0])
+
+        def run_box(carry, c0=c0, c1=c1):
+            get_dma(jax.lax.rem(c0, 2), c0).start()
+            return jax.lax.fori_loop(c0, c1, make_body(c1), carry)
+
+        carry = jax.lax.cond(jnp.any(box_live), run_box, lambda x: x, carry)
+    best_t, bnx, bny, bnz, bmid = carry
     out_ref[0] = best_t
     out_ref[1] = bnx
     out_ref[2] = bny
@@ -684,12 +729,15 @@ def _mesh_nearest_kernel(aabb_ref, rays_ref, tri_hbm, out_ref, tri_smem,
     out_ref[4] = bmid
 
 
-def _mesh_occl_kernel(aabb_ref, rays_ref, tri_hbm, out_ref, tri_smem, sem,
-                      *, n_clusters: int, cs: int, t_min: float):
+def _mesh_occl_kernel(box_ref, aabb_ref, rays_ref, tri_hbm, out_ref,
+                      tri_smem, sem, *, boxes: tuple, n_clusters: int,
+                      cs: int, t_min: float):
     """Occlusion test: is any mesh triangle within (t_min, lim] along the
     ray?  rays_ref rows: px py pz wx wy wz lim.  Division-free accept tests
-    (ops.fused shadow-pass trick).  A cluster is skipped when every lane is
-    already occluded or cannot reach it."""
+    (ops.fused shadow-pass trick).  Box/cluster culling and the
+    box-bounded DMA prefetch as in ``_mesh_nearest_kernel``; a box (or
+    cluster) is skipped when every lane is already occluded or cannot
+    reach it."""
     f32 = jnp.float32
     ox, oy, oz = rays_ref[0], rays_ref[1], rays_ref[2]
     dx, dy, dz = rays_ref[3], rays_ref[4], rays_ref[5]
@@ -702,25 +750,16 @@ def _mesh_occl_kernel(aabb_ref, rays_ref, tri_hbm, out_ref, tri_smem, sem,
     ix, iy, iz = safe_inv(dx), safe_inv(dy), safe_inv(dz)
 
     def get_dma(slot, c):
-        return pltpu.make_async_copy(tri_hbm.at[c], tri_smem.at[slot], sem.at[slot])
-
-    get_dma(0, 0).start()
+        return pltpu.make_async_copy(tri_hbm.at[c], tri_smem.at[slot],
+                                     sem.at[slot])
 
     def at(slot, k, j):
         f = k * MESH_NF + j
         return tri_smem[slot, f // 128, f % 128]
 
-    def body(c, occ_f):
-        slot = jax.lax.rem(c, 2)
-
-        @pl.when(c + 1 < n_clusters)
-        def _():
-            get_dma(jax.lax.rem(c + 1, 2), c + 1).start()
-
-        get_dma(slot, c).wait()
-
-        bx0, by0, bz0 = aabb_ref[c, 0], aabb_ref[c, 1], aabb_ref[c, 2]
-        bx1, by1, bz1 = aabb_ref[c, 3], aabb_ref[c, 4], aabb_ref[c, 5]
+    def _slab6(ref, i):
+        bx0, by0, bz0 = ref[i, 0], ref[i, 1], ref[i, 2]
+        bx1, by1, bz1 = ref[i, 3], ref[i, 4], ref[i, 5]
         tx0 = (bx0 - ox) * ix
         tx1 = (bx1 - ox) * ix
         ty0 = (by0 - oy) * iy
@@ -733,48 +772,75 @@ def _mesh_occl_kernel(aabb_ref, rays_ref, tri_hbm, out_ref, tri_smem, sem,
         t_out = jnp.minimum(jnp.minimum(jnp.maximum(tx0, tx1),
                                         jnp.maximum(ty0, ty1)),
                             jnp.maximum(tz0, tz1))
-        live = ((t_out >= 0.0) & (t_in <= t_out) & (t_in <= lim)
-                & (occ_f < 0.5))
+        return t_in, t_out
 
-        def hit(occ_f):
-            occluded = occ_f > 0.5
-            for k in range(cs):
-                v0x, v0y, v0z = at(slot, k, 0), at(slot, k, 1), at(slot, k, 2)
-                e1x, e1y, e1z = at(slot, k, 3), at(slot, k, 4), at(slot, k, 5)
-                e2x, e2y, e2z = at(slot, k, 6), at(slot, k, 7), at(slot, k, 8)
-                s1x = dy * e2z - dz * e2y
-                s1y = dz * e2x - dx * e2z
-                s1z = dx * e2y - dy * e2x
-                det = s1x * e1x + s1y * e1y + s1z * e1z
-                okd = jnp.abs(det) > _DET_EPS
-                sd = jnp.where(det >= 0.0, f32(1.0), f32(-1.0))
-                adet = det * sd
-                sx, sy, sz = ox - v0x, oy - v0y, oz - v0z
-                s2x = sy * e1z - sz * e1y
-                s2y = sz * e1x - sx * e1z
-                s2z = sx * e1y - sy * e1x
-                tn = s2x * e2x + s2y * e2y + s2z * e2z
-                b1n = s1x * sx + s1y * sy + s1z * sz
-                b2n = s2x * dx + s2y * dy + s2z * dz
-                tsd = tn * sd
-                occluded = occluded | (
-                    okd & (tsd > t_min * adet) & (tsd <= lim * adet)
-                    & (b1n * sd >= 0.0) & (b2n * sd >= 0.0)
-                    & ((det - b1n - b2n) * sd >= 0.0))
-            return occluded.astype(f32)
+    def make_body(c_end):
+        def body(c, occ_f):
+            slot = jax.lax.rem(c, 2)
 
-        return jax.lax.cond(jnp.any(live), hit, lambda x: x, occ_f)
+            @pl.when(c + 1 < c_end)
+            def _():
+                get_dma(jax.lax.rem(c + 1, 2), c + 1).start()
 
-    occ_f = jax.lax.fori_loop(
-        0, n_clusters, body, jnp.zeros(ox.shape, f32))
+            get_dma(slot, c).wait()
+
+            t_in, t_out = _slab6(aabb_ref, c)
+            live = ((t_out >= 0.0) & (t_in <= t_out) & (t_in <= lim)
+                    & (occ_f < 0.5))
+
+            def hit(occ_f):
+                occluded = occ_f > 0.5
+                for k in range(cs):
+                    v0x, v0y, v0z = (at(slot, k, 0), at(slot, k, 1),
+                                     at(slot, k, 2))
+                    e1x, e1y, e1z = (at(slot, k, 3), at(slot, k, 4),
+                                     at(slot, k, 5))
+                    e2x, e2y, e2z = (at(slot, k, 6), at(slot, k, 7),
+                                     at(slot, k, 8))
+                    s1x = dy * e2z - dz * e2y
+                    s1y = dz * e2x - dx * e2z
+                    s1z = dx * e2y - dy * e2x
+                    det = s1x * e1x + s1y * e1y + s1z * e1z
+                    okd = jnp.abs(det) > _DET_EPS
+                    sd = jnp.where(det >= 0.0, f32(1.0), f32(-1.0))
+                    adet = det * sd
+                    sx, sy, sz = ox - v0x, oy - v0y, oz - v0z
+                    s2x = sy * e1z - sz * e1y
+                    s2y = sz * e1x - sx * e1z
+                    s2z = sx * e1y - sy * e1x
+                    tn = s2x * e2x + s2y * e2y + s2z * e2z
+                    b1n = s1x * sx + s1y * sy + s1z * sz
+                    b2n = s2x * dx + s2y * dy + s2z * dz
+                    tsd = tn * sd
+                    occluded = occluded | (
+                        okd & (tsd > t_min * adet) & (tsd <= lim * adet)
+                        & (b1n * sd >= 0.0) & (b2n * sd >= 0.0)
+                        & ((det - b1n - b2n) * sd >= 0.0))
+                return occluded.astype(f32)
+
+            return jax.lax.cond(jnp.any(live), hit, lambda x: x, occ_f)
+
+        return body
+
+    occ_f = jnp.zeros(ox.shape, f32)
+    for b, (c0, c1) in enumerate(boxes):
+        bt_in, bt_out = _slab6(box_ref, b)
+        box_live = ((bt_out >= 0.0) & (bt_in <= bt_out) & (bt_in <= lim)
+                    & (occ_f < 0.5))
+
+        def run_box(occ_f, c0=c0, c1=c1):
+            get_dma(jax.lax.rem(c0, 2), c0).start()
+            return jax.lax.fori_loop(c0, c1, make_body(c1), occ_f)
+
+        occ_f = jax.lax.cond(jnp.any(box_live), run_box, lambda x: x, occ_f)
     out_ref[0] = occ_f
 
 
 @functools.partial(jax.jit,
                    static_argnames=("n_clusters", "cs", "t_min", "occl",
-                                    "msub", "interpret"))
-def _mesh_pass(aabb, tri, rays, *, n_clusters, cs, t_min, occl, msub=SUB,
-               interpret=False):
+                                    "boxes", "msub", "interpret"))
+def _mesh_pass(aabb, tri, rays, box_aabb=None, *, n_clusters, cs, t_min,
+               occl, boxes=None, msub=SUB, interpret=False):
     """rays: (P, cap) — P=6 for nearest, 7 for occlusion.  Returns (5, cap)
     [t n mid] or (1, cap) [occluded].  ``msub``: kernel tile height (the
     per-cluster cull granularity is msub*128 lanes)."""
@@ -782,9 +848,15 @@ def _mesh_pass(aabb, tri, rays, *, n_clusters, cs, t_min, occl, msub=SUB,
     assert cap % (msub * 128) == 0, "cap must be a whole number of tiles"
     g = cap // (msub * 128)
     rows = cap // 128
+    if boxes is None:
+        boxes = ((0, n_clusters),)
+    if box_aabb is None:
+        box_aabb = jnp.concatenate(
+            [jnp.min(aabb[:, 0:3], 0), jnp.max(aabb[:, 3:6], 0),
+             jnp.zeros((2,), jnp.float32)]).reshape(1, 8)
     kern = functools.partial(
         _mesh_occl_kernel if occl else _mesh_nearest_kernel,
-        n_clusters=n_clusters, cs=cs, t_min=t_min)
+        boxes=tuple(boxes), n_clusters=n_clusters, cs=cs, t_min=t_min)
     n_out = 1 if occl else 5
 
     def mspec(q):
@@ -795,6 +867,7 @@ def _mesh_pass(aabb, tri, rays, *, n_clusters, cs, t_min, occl, msub=SUB,
         kern,
         grid=(g,),
         in_specs=[
+            _smem_spec(box_aabb.shape),
             _smem_spec(aabb.shape),
             mspec(p),
             pl.BlockSpec(memory_space=pl.ANY),
@@ -806,7 +879,7 @@ def _mesh_pass(aabb, tri, rays, *, n_clusters, cs, t_min, occl, msub=SUB,
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
-    )(aabb, rays.reshape(p, rows, 128), tri)
+    )(box_aabb, aabb, rays.reshape(p, rows, 128), tri)
     return out.reshape(n_out, cap)
 
 
@@ -960,6 +1033,29 @@ def _compact_indices(pred, cap: int, n: int):
     return idx, jnp.maximum(count - cap, 0)
 
 
+def _first_box_key(o, d, t_hi, box_lo, box_hi, t_lo):
+    """Index of the first spatial box the segment [~0, t_hi] enters (by
+    t_in), or B when it reaches none — per lane.  o/d: (R, 3); box_lo/hi:
+    (B, 3) arrays.  Conservative slack as in ``_slab_crosses``."""
+    inv = 1.0 / jnp.where(jnp.abs(d) < 1e-20,
+                          jnp.where(d < 0, -1e-20, 1e-20), d)
+    n_box = box_lo.shape[0]
+    best = jnp.full(o.shape[:1], jnp.inf, jnp.float32)
+    key = jnp.full(o.shape[:1], n_box, jnp.int32)
+    hi_bound = t_hi * 1.000001 + 1e-5
+    for b in range(n_box):
+        t0 = (box_lo[b][None, :] - o) * inv
+        t1 = (box_hi[b][None, :] - o) * inv
+        t_in = jnp.max(jnp.minimum(t0, t1), axis=-1)
+        t_out = jnp.min(jnp.maximum(t0, t1), axis=-1)
+        crossed = ((t_out >= jnp.minimum(t_lo, 0.0)) & (t_in <= t_out)
+                   & (t_in <= hi_bound))
+        better = crossed & (t_in < best)
+        best = jnp.where(better, t_in, best)
+        key = jnp.where(better, b, key)
+    return key
+
+
 def _slab_crosses(o, d, lo, hi, t_lo, t_hi):
     """Does the ray segment [t_lo, t_hi] cross AABB (lo, hi)?  (R,) bool.
     Slack on the far bound absorbs fp rounding (the predicate must be
@@ -980,12 +1076,16 @@ def _slab_crosses(o, d, lo, hi, t_lo, t_hi):
         "n_stri", "n_sph", "n_light", "n_mat", "n_steps", "width", "height",
         "n_pix", "t_min", "eps_offset", "rr_survival", "shadow_tol",
         "max_depth", "cap_main", "cap_shadow", "cs", "n_clusters",
-        "msub", "interpret"))
-def _run_steps(stri, ssph, mat, light, sky, smc_tri, smc_aabb, gate_lo,
-               gate_hi, seed, cam16, pix_planes, pxy_planes, sf, si, *,
-               n_stri, n_sph, n_light, n_mat, n_steps, width, height, n_pix,
-               t_min, eps_offset, rr_survival, shadow_tol, max_depth,
-               cap_main, cap_shadow, cs, n_clusters, msub, interpret):
+        "boxes", "sort_boxes", "msub", "interpret"))
+def _run_steps(stri, ssph, mat, light, sky, smc_tri, smc_aabb, smc_box,
+               gate_lo, gate_hi, seed, cam16, pix_planes, pxy_planes, sf,
+               si, *, n_stri, n_sph, n_light, n_mat, n_steps, width, height,
+               n_pix, t_min, eps_offset, rr_survival, shadow_tol, max_depth,
+               cap_main, cap_shadow, cs, n_clusters, boxes, sort_boxes,
+               msub, interpret):
+    n_box = len(boxes)
+    box_lo = smc_box[:, 0:3]
+    box_hi = smc_box[:, 3:6]
     rp = sf.shape[1] * 128
     g = sf.shape[1] // SUB
 
@@ -1027,11 +1127,18 @@ def _run_steps(stri, ssph, mat, light, sky, smc_tri, smc_aabb, gate_lo,
         )(stri, ssph, sf[0:6])
         t_s = flat(hf)[0]
 
-        # Mesh main pass: compact lanes whose segment reaches the gated AABB
-        # before the smalls winner, intersect via the SMEM cluster kernel,
-        # scatter the winners back.
-        pred = valid & _slab_crosses(o.T, d.T, gate_lo, gate_hi, t_min, t_s)
+        # Mesh main pass: compact lanes whose segment enters SOME spatial
+        # box before the smalls winner (tighter than the union AABB),
+        # sorted by first-entered box so kernel tiles can skip whole boxes,
+        # intersect via the SMEM cluster kernel, scatter the winners back.
+        key_m = _first_box_key(o.T, d.T, t_s, box_lo, box_hi,
+                               jnp.float32(t_min))
+        pred = valid & (key_m < n_box)
         idx, of1 = _compact_indices(pred, cap_main, rp)
+        if sort_boxes:
+            ks = jnp.where(idx < rp, key_m[jnp.clip(idx, 0, rp - 1)],
+                           n_box + 1)
+            _, idx = jax.lax.sort_key_val(ks, idx)
         gi = jnp.clip(idx, 0, rp - 1)
         # Padded slots get a guaranteed-miss ray (origin beyond the gated
         # AABB, pointing away): whole padding tiles then skip every cluster.
@@ -1042,9 +1149,9 @@ def _run_steps(stri, ssph, mat, light, sky, smc_tri, smc_aabb, gate_lo,
                        jnp.asarray([0.0, 0.0, 1.0],
                                    jnp.float32)[:, None])
         vals = _mesh_pass(smc_aabb, smc_tri,
-                          jnp.concatenate([ro, rd], 0),
+                          jnp.concatenate([ro, rd], 0), smc_box,
                           n_clusters=n_clusters, cs=cs, t_min=t_min,
-                          occl=False, msub=msub,
+                          occl=False, boxes=boxes, msub=msub,
                           interpret=interpret)               # (5, cap)
         mesh = jnp.full((5, rp), np.float32(NO_HIT))
         mesh = mesh.at[1:5, :].set(0.0)
@@ -1069,9 +1176,17 @@ def _run_steps(stri, ssph, mat, light, sky, smc_tri, smc_aabb, gate_lo,
           hf, planes(mesh), si[0:2])
         kb = flat(k1b_out)
 
-        # Shadow pass: compact, SMEM occlusion kernel, scatter the flag.
-        pred_sh = kb[12] > 0.5
+        # Shadow pass: compact (per-box key tightens K1b's union-AABB
+        # predicate), sort by first-entered box, SMEM occlusion kernel,
+        # scatter the flag.
+        key_s = _first_box_key(kb[5:8].T, kb[8:11].T, kb[11], box_lo,
+                               box_hi, jnp.float32(t_min))
+        pred_sh = (kb[12] > 0.5) & (key_s < n_box)
         idx2, of2 = _compact_indices(pred_sh, cap_shadow, rp)
+        if sort_boxes:
+            ks2 = jnp.where(idx2 < rp, key_s[jnp.clip(idx2, 0, rp - 1)],
+                            n_box + 1)
+            _, idx2 = jax.lax.sort_key_val(ks2, idx2)
         gi2 = jnp.clip(idx2, 0, rp - 1)
         live_s = (idx2 < rp)[None]
         po = jnp.where(live_s, kb[5:8][:, gi2], far[:, None])
@@ -1081,8 +1196,9 @@ def _run_steps(stri, ssph, mat, light, sky, smc_tri, smc_aabb, gate_lo,
         lim = jnp.where(live_s[0], kb[11][gi2], -1.0)
         occ_sub = _mesh_pass(smc_aabb, smc_tri,
                              jnp.concatenate([po, pw, lim[None]], 0),
-                             n_clusters=n_clusters, cs=cs, t_min=t_min,
-                             occl=True, msub=msub, interpret=interpret)
+                             smc_box, n_clusters=n_clusters, cs=cs,
+                             t_min=t_min, occl=True, boxes=boxes, msub=msub,
+                             interpret=interpret)
         occ = jnp.zeros((1, rp), jnp.float32).at[:, idx2].set(
             occ_sub, mode="drop")
 
@@ -1126,6 +1242,7 @@ def wavefront_steps_fused_mesh(mp: MeshPack, camera, cfg: RenderConfig, key,
                                cap_shadow: int | None = None,
                                pixel_offset: int = 0,
                                msub: int = SUB,
+                               sort_boxes: bool = True,
                                interpret: bool | None = None):
     """Drop-in fused-mesh equivalent of ``monte_carlo.wavefront_steps``
     driven through ``models.mesh.make_intersect_fn`` — returns the advanced
@@ -1183,7 +1300,8 @@ def wavefront_steps_fused_mesh(mp: MeshPack, camera, cfg: RenderConfig, key,
 
     sf2, si2, overflow, npred = _run_steps(
         mp.stri, mp.ssph, mp.mat, mp.light, mp.sky, mp.smc_tri, mp.smc_aabb,
-        mp.gate_lo, mp.gate_hi, seed, cam16, pix_planes, pxy_planes, sf, si,
+        mp.smc_box_aabb, mp.gate_lo, mp.gate_hi, seed, cam16, pix_planes,
+        pxy_planes, sf, si,
         n_stri=mp.n_stri, n_sph=mp.n_sph, n_light=mp.n_light,
         n_mat=mp.n_mat, n_steps=int(n_steps), width=cfg.width,
         height=cfg.height, n_pix=n_pix, t_min=float(cfg.t_min),
@@ -1192,7 +1310,8 @@ def wavefront_steps_fused_mesh(mp: MeshPack, camera, cfg: RenderConfig, key,
         shadow_tol=float(cfg.shadow_tolerance),
         max_depth=int(cfg.max_depth), cap_main=int(cap_main),
         cap_shadow=int(cap_shadow), cs=mp.cs,
-        n_clusters=mp.smc_aabb.shape[0], msub=int(msub),
+        n_clusters=mp.smc_aabb.shape[0], boxes=tuple(mp.boxes),
+        sort_boxes=bool(sort_boxes), msub=int(msub),
         interpret=bool(interpret))
 
     sf2 = sf2.reshape(15, rp)[:, :r]
