@@ -68,16 +68,28 @@ def _render_stage(stage: str, cfg, key):
         cornell, initial_scene, meshes, rtiow, whitted_scene)
 
     if stage == "offline":
-        img = offline.render(rtiow.offline_two_sphere_scene(),
-                             rtiow.offline_camera(cfg.width / cfg.height),
-                             cfg, key)
+        import jax
+        scene = rtiow.offline_two_sphere_scene()
+        cam = rtiow.offline_camera(cfg.width / cfg.height)
+        if jax.default_backend() != "cpu":
+            from cpu_based_ray_tracer_tpu.ops import fused_rtiow
+            img = fused_rtiow.render_fused(scene, cam, cfg, key)
+        else:
+            img = offline.render(scene, cam, cfg, key)
         return img, cfg.gamma
     if stage == "initial":
         img = initial.render(initial_scene.initial_scene(),
                              initial_scene.initial_camera(), cfg, key)
         return img, 1.0
     if stage == "nppt":
-        img = nppt.render(rtiow.nppt_scene(), rtiow.nppt_camera(), cfg, key)
+        import jax
+        if jax.default_backend() != "cpu":
+            from cpu_based_ray_tracer_tpu.ops import fused_rtiow
+            img = fused_rtiow.render_fused(rtiow.nppt_scene(),
+                                           rtiow.nppt_camera(), cfg, key)
+        else:
+            img = nppt.render(rtiow.nppt_scene(), rtiow.nppt_camera(), cfg,
+                              key)
         return img, cfg.gamma
     if stage == "whitted":
         img = whitted.render(whitted_scene.whitted_scene(),

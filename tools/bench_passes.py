@@ -225,6 +225,31 @@ def main():
             "seconds_per_frame": dt, "fps": 1.0 / dt, "lanes": h * w}
         print("denoiserfps:", P["denoiser_fused_frame"], flush=True)
 
+    if "rtiowfused" in want:
+        # Fused RTIOW kernel over both stages' headline configs: the
+        # offline prototype's exact benchmark config (400x225, 100 SPP,
+        # depth 50 — main.cpp:78-87) and the NPPT viewport at 256 SPP.
+        from cpu_based_ray_tracer_tpu.ops import fused_rtiow
+        from cpu_based_ray_tracer_tpu.scenes import rtiow as rtiow_scenes
+
+        sc = rtiow_scenes.offline_two_sphere_scene()
+        cm = rtiow_scenes.offline_camera(400 / 225)
+        c1 = RenderConfig(width=400, height=225, spp=100, max_depth=50)
+        # render_fused is a host-side driver (equal-spp polling loop); its
+        # inner stepper is jitted.
+        dt = timeit(lambda: fused_rtiow.render_fused(sc, cm, c1, key), n=3)
+        P["offline_fused_400x225_100spp"] = {"seconds": dt}
+        print("rtiowfused offline:", P["offline_fused_400x225_100spp"],
+              flush=True)
+
+        sc2 = rtiow_scenes.nppt_scene()
+        cm2 = rtiow_scenes.nppt_camera()
+        c2 = RenderConfig(width=883, height=824, spp=256, max_depth=50)
+        dt2 = timeit(lambda: fused_rtiow.render_fused(sc2, cm2, c2, key),
+                     n=2)
+        P["nppt_fused_883x824_256spp"] = {"seconds": dt2}
+        print("rtiowfused nppt:", P["nppt_fused_883x824_256spp"], flush=True)
+
     if "whittedfused" in want:
         # Fused Whitted ray-tree kernel (ops.fused_whitted) — the stage's
         # defining quality is interactivity (README.md:81-83); VERDICT r3
