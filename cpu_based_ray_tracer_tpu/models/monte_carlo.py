@@ -479,13 +479,15 @@ def render_turbo_exact(scene: Scene, camera, cfg: RenderConfig, key
 
     fs = fused.pack_scene(scene)
     state = wavefront_init(scene, camera, cfg, key)
+    # Chunk doubling: each host poll costs a device round-trip (~50 ms on
+    # the tunneled chip) — grow the chunk geometrically, O(log) polls.
     chunk = max(32, cfg.max_depth)
-    stepper = jax.jit(lambda st: fused.wavefront_steps_fused(
-        fs, camera, cfg, key, st, chunk, stop_after=cfg.spp))
     for _ in range(cfg.spp * cfg.max_depth):
-        state = stepper(state)
+        state = fused.wavefront_steps_fused(fs, camera, cfg, key, state,
+                                            chunk, stop_after=cfg.spp)
         if int(jnp.min(state.n_done)) >= cfg.spp:
             break
+        chunk = min(2 * chunk, 4096)
     return (state.acc / cfg.spp).reshape(cfg.height, cfg.width, 3)
 
 
