@@ -45,3 +45,21 @@ def test_fused_nppt_matches_scan():
     ref = np.asarray(nppt.render(scene, cam, cfg, key))
     got = np.asarray(fused_rtiow.render_fused(scene, cam, cfg, key))
     np.testing.assert_allclose(got, ref, rtol=2e-3, atol=2e-3)
+
+
+def test_fused_offline_diffuse_models_match_scan():
+    # The IN_SPHERE / IN_HEMISPHERE static branches (Diffuse.h:29-35,
+    # runtime-switchable in the NPPT stage).
+    from cpu_based_ray_tracer_tpu.scene import (DIFFUSE_IN_HEMISPHERE,
+                                                DIFFUSE_IN_SPHERE)
+
+    scene = rtiow.offline_two_sphere_scene()
+    cam = rtiow.offline_camera(1.0)
+    key = rng.render_key(11)
+    for model in (DIFFUSE_IN_SPHERE, DIFFUSE_IN_HEMISPHERE):
+        cfg = RenderConfig(width=24, height=24, spp=2, max_depth=4,
+                           diffuse_model=model)
+        ref = np.asarray(offline.render(scene, cam, cfg, key))
+        got = np.asarray(fused_rtiow.render_fused(scene, cam, cfg, key))
+        np.testing.assert_allclose(got, ref, rtol=2e-3, atol=2e-3,
+                                   err_msg=f"diffuse model {model}")
