@@ -206,8 +206,8 @@ def pack_mesh_scene(scene: Scene, gate_mask: Optional[np.ndarray] = None,
 # material IDS instead of inlined albedo/emission rows).
 # --------------------------------------------------------------------------
 
-def _k1_kernel(stri_ref, ssph_ref, rf_ref, hf_out, *, n_stri: int,
-               n_sph: int, t_min: float):
+def _k1_kernel(stri_ref, ssph_ref, box_ref, rf_ref, hf_out, *, n_stri: int,
+               n_sph: int, n_box: int, t_min: float):
     f32 = jnp.float32
     TRI = [[stri_ref[n, k] for k in range(13)] for n in range(n_stri)]
     SPH = [[ssph_ref[m, k] for k in range(5)] for m in range(n_sph)]
@@ -267,11 +267,45 @@ def _k1_kernel(stri_ref, ssph_ref, rf_ref, hf_out, *, n_stri: int,
         bny = jnp.where(ok, (hpy - cy) * inv_r, bny)
         bnz = jnp.where(ok, (hpz - cz) * inv_r, bnz)
         bmid = jnp.where(ok, mid, bmid)
+
+    # First-entered spatial box of the segment [~0, best_t] — the mesh-pass
+    # predicate + sort key, fused here so the XLA glue never re-reads the
+    # (o, d) planes (was ``_first_box_key``; same fp ops, same slack).
+    def sinv(v):
+        tiny = jnp.where(v < 0.0, f32(-1e-20), f32(1e-20))
+        return 1.0 / jnp.where(jnp.abs(v) < 1e-20, tiny, v)
+
+    ivx, ivy, ivz = sinv(dx), sinv(dy), sinv(dz)
+    hi_bound = best_t * 1.000001 + 1e-5
+    t_lo = jnp.minimum(f32(t_min), 0.0)
+    best_in = jnp.full(ox.shape, jnp.inf, f32)
+    key = jnp.full(ox.shape, f32(n_box))
+    for b in range(n_box):
+        bx0, by0, bz0 = box_ref[b, 0], box_ref[b, 1], box_ref[b, 2]
+        bx1, by1, bz1 = box_ref[b, 3], box_ref[b, 4], box_ref[b, 5]
+        tx0 = (bx0 - ox) * ivx
+        tx1 = (bx1 - ox) * ivx
+        ty0 = (by0 - oy) * ivy
+        ty1 = (by1 - oy) * ivy
+        tz0 = (bz0 - oz) * ivz
+        tz1 = (bz1 - oz) * ivz
+        t_in = jnp.maximum(jnp.maximum(jnp.minimum(tx0, tx1),
+                                       jnp.minimum(ty0, ty1)),
+                           jnp.minimum(tz0, tz1))
+        t_out = jnp.minimum(jnp.minimum(jnp.maximum(tx0, tx1),
+                                        jnp.maximum(ty0, ty1)),
+                            jnp.maximum(tz0, tz1))
+        better = ((t_out >= t_lo) & (t_in <= t_out) & (t_in <= hi_bound)
+                  & (t_in < best_in))
+        best_in = jnp.where(better, t_in, best_in)
+        key = jnp.where(better, f32(b), key)
+
     hf_out[0] = best_t
     hf_out[1] = bnx
     hf_out[2] = bny
     hf_out[3] = bnz
     hf_out[4] = bmid
+    hf_out[5] = key
 
 
 # --------------------------------------------------------------------------
@@ -542,6 +576,7 @@ def _k2_kernel(seed_ref, cam_ref, stri_ref, ssph_ref, mat_ref, light_ref,
 # --------------------------------------------------------------------------
 
 MESH_NF = 16     # floats per streamed triangle row: v0 e1 e2 n mid pad*3
+_TRI_UNROLL = 128   # triangles unrolled per inner chunk (fori-looped above)
 
 
 class SmemClusters(NamedTuple):
@@ -562,29 +597,41 @@ class SmemClusters(NamedTuple):
 def build_smem_clusters(verts: np.ndarray, normals: np.ndarray,
                         mids: np.ndarray, cluster_size: int = 128
                         ) -> SmemClusters:
-    """Median-split leaves (same rule as ``packet_ops.build_clusters``)
-    packed into DMA-ready (CS*MESH_NF/128, 128) blocks per cluster.
+    """Spatially-ordered FULL clusters packed into DMA-ready
+    (CS*MESH_NF/128, 128) blocks.
 
-    Padding triangles are degenerate (all-zero: det == 0, never hit)."""
+    The triangles are put in median-split BVH preorder (small leaves, same
+    split rule as ``packet_ops.build_clusters``) and the preorder stream is
+    chunked into exactly-``cluster_size`` clusters.  Chunking the stream —
+    rather than padding each ≤CS leaf to CS slots — keeps clusters
+    spatially compact (preorder neighbors are BVH siblings) while packing
+    every slot with a real triangle: leaf-per-cluster padding measured 60%
+    wasted tests on bunny-in-Cornell (avg leaf occupancy 80/128, r4).
+    Only the final cluster pads, with degenerate all-zero triangles
+    (det == 0, never hit)."""
     from cpu_based_ray_tracer_tpu.ops import bvh as bvh_ops
 
     assert cluster_size * MESH_NF % 128 == 0
     tris = np.asarray(verts, np.float64).reshape(-1, 3, 3)
-    flat = bvh_ops.build_bvh(tris, leaf_size=cluster_size)
+    n = len(tris)
+    cs = cluster_size
+    flat = bvh_ops.build_bvh(tris, leaf_size=max(8, cs // 8))
     first = np.asarray(flat.leaf_first)
     count = np.asarray(flat.leaf_count)
     order = np.asarray(flat.order)
     leaves = np.flatnonzero(count > 0)
+    preorder = np.concatenate(
+        [order[first[lf]:first[lf] + count[lf]] for lf in leaves])
+    assert len(preorder) == n
 
-    cs = cluster_size
-    c = len(leaves)
+    c = -(-n // cs)
     v0 = tris[:, 0]
     e1 = tris[:, 1] - tris[:, 0]
     e2 = tris[:, 2] - tris[:, 0]
     rows = np.zeros((c, cs, MESH_NF), np.float32)
     aabb = np.zeros((c, 8), np.float32)
-    for ci, leaf in enumerate(leaves):
-        idx = order[first[leaf]:first[leaf] + count[leaf]]
+    for ci in range(c):
+        idx = preorder[ci * cs:(ci + 1) * cs]
         k = len(idx)
         rows[ci, :k, 0:3] = v0[idx]
         rows[ci, :k, 3:6] = e1[idx]
@@ -671,9 +718,10 @@ def _mesh_nearest_kernel(box_ref, aabb_ref, rays_ref, tri_hbm, out_ref,
             t_in, t_out = _slab6(aabb_ref, c)
             live = (t_out >= 0.0) & (t_in <= t_out) & (t_in <= best_t)
 
-            def hit(carry):
+            def tri_test(carry, base):
                 best_t, bnx, bny, bnz, bmid = carry
-                for k in range(cs):
+                for kk in range(min(cs, _TRI_UNROLL)):
+                    k = base + kk
                     v0x, v0y, v0z = (at(slot, k, 0), at(slot, k, 1),
                                      at(slot, k, 2))
                     e1x, e1y, e1z = (at(slot, k, 3), at(slot, k, 4),
@@ -704,6 +752,18 @@ def _mesh_nearest_kernel(box_ref, aabb_ref, rays_ref, tri_hbm, out_ref,
                     bnz = jnp.where(ok, nz, bnz)
                     bmid = jnp.where(ok, mid, bmid)
                 return best_t, bnx, bny, bnz, bmid
+
+            def hit(carry):
+                # cs <= _TRI_UNROLL: fully unrolled (the measured-fastest
+                # small-cluster form).  Larger clusters run an inner
+                # fori_loop of _TRI_UNROLL-triangle unrolled chunks with
+                # dynamic SMEM bases — bounds the Mosaic live-value set
+                # (a fully-unrolled 256-triangle chain spills ~22 MB).
+                if cs <= _TRI_UNROLL:
+                    return tri_test(carry, 0)
+                return jax.lax.fori_loop(
+                    0, cs // _TRI_UNROLL,
+                    lambda ci, cy: tri_test(cy, ci * _TRI_UNROLL), carry)
 
             return jax.lax.cond(jnp.any(live), hit, lambda x: x,
                                 (best_t, bnx, bny, bnz, bmid))
@@ -788,9 +848,10 @@ def _mesh_occl_kernel(box_ref, aabb_ref, rays_ref, tri_hbm, out_ref,
             live = ((t_out >= 0.0) & (t_in <= t_out) & (t_in <= lim)
                     & (occ_f < 0.5))
 
-            def hit(occ_f):
+            def tri_test(occ_f, base):
                 occluded = occ_f > 0.5
-                for k in range(cs):
+                for kk in range(min(cs, _TRI_UNROLL)):
+                    k = base + kk
                     v0x, v0y, v0z = (at(slot, k, 0), at(slot, k, 1),
                                      at(slot, k, 2))
                     e1x, e1y, e1z = (at(slot, k, 3), at(slot, k, 4),
@@ -817,6 +878,13 @@ def _mesh_occl_kernel(box_ref, aabb_ref, rays_ref, tri_hbm, out_ref,
                         & (b1n * sd >= 0.0) & (b2n * sd >= 0.0)
                         & ((det - b1n - b2n) * sd >= 0.0))
                 return occluded.astype(f32)
+
+            def hit(occ_f):
+                if cs <= _TRI_UNROLL:
+                    return tri_test(occ_f, 0)
+                return jax.lax.fori_loop(
+                    0, cs // _TRI_UNROLL,
+                    lambda ci, oc: tri_test(oc, ci * _TRI_UNROLL), occ_f)
 
             return jax.lax.cond(jnp.any(live), hit, lambda x: x, occ_f)
 
@@ -885,22 +953,23 @@ def _mesh_pass(aabb, tri, rays, box_aabb=None, *, n_clusters, cs, t_min,
 
 
 
-def _k1b_kernel(seed_ref, light_ref, mat_ref, sky_ref, glo_ref, pix_ref,
+def _k1b_kernel(seed_ref, light_ref, mat_ref, sky_ref, box_ref, pix_ref,
                 rf_ref, hf_ref, mf_ref, si_ref, out_ref, *, n_light: int,
-                n_mat: int, n_pix: int, t_min: float, eps_offset: float,
-                shadow_tol: float):
+                n_mat: int, n_box: int, n_pix: int, t_min: float,
+                eps_offset: float, shadow_tol: float):
     """Merge + shading-point + NEE-sample + predicate kernel (between the
     mesh main pass and the shadow compaction).  Replaces ~4 ms of loose XLA
     per step with ~0.1 ms of fused vector math.
 
-    out planes: t, n(3), mid, p(3), wl(3), lim, pred_main_unused?  ->
-    [0]=t [1:4]=n [4]=mid [5:8]=p [8:11]=wl [11]=lim [12]=pred_sh flag."""
+    out planes: [0]=t [1:4]=n [4]=mid [5:8]=p [8:11]=wl [11]=lim
+    [12]=first-box key of the shadow segment (n_box = no box reached or
+    lane needs no shadow test — doubles as the predicate AND the sort
+    key, so the XLA glue never re-reads the shadow-ray planes)."""
     f32 = jnp.float32
     seed = seed_ref[0, 0]
     LGT = [[light_ref[e, k] for k in range(16)] for e in range(n_light)]
     MATE = [mat_ref[k, 6] for k in range(n_mat)]
     light_total = sky_ref[0, 6]
-    glo = [glo_ref[0, j] for j in range(6)]            # gate lo/hi xyz
 
     pix = pix_ref[0]
     valid = pix < jnp.uint32(n_pix)
@@ -968,28 +1037,48 @@ def _k1b_kernel(seed_ref, light_ref, mat_ref, sky_ref, glo_ref, pix_ref,
     wlx, wly, wlz = tlx * invd, tly * invd, tlz * invd
     lim = dist - shadow_tol
 
-    # shadow-segment-vs-gated-AABB predicate (same slack as _slab_crosses)
+    # Zero-weight pruning: the NEE contribution is scaled by
+    # max(cos_s, 0) (K2's ``brdf_ok``), so a lane whose light sample lies
+    # at/below its surface horizon contributes nothing regardless of
+    # visibility — its mesh occlusion test is provably irrelevant and the
+    # key is set to "none" (the smalls shadow test in K2 still runs for
+    # every lane, exactly like the XLA twin; images are unchanged).
+    cos_s = wlx * nx + wly * ny + wlz * nz
+    alive_sh = alive_sh & (cos_s > 0.0) & (light_total > 0.0)
+
+    # First-entered spatial box of the shadow segment [~0, lim] — predicate
+    # + sort key in one plane (was XLA ``_first_box_key`` over the scatter-
+    # backed shadow planes; per-box test is tighter than the old union-AABB
+    # predicate and subsumes it, same conservative slack).
     def sinv(v):
         tiny = jnp.where(v < 0.0, f32(-1e-20), f32(1e-20))
         return 1.0 / jnp.where(jnp.abs(v) < 1e-20, tiny, v)
 
     ivx, ivy, ivz = sinv(wlx), sinv(wly), sinv(wlz)
-    tx0 = (glo[0] - px) * ivx
-    tx1 = (glo[3] - px) * ivx
-    ty0 = (glo[1] - py) * ivy
-    ty1 = (glo[4] - py) * ivy
-    tz0 = (glo[2] - pz) * ivz
-    tz1 = (glo[5] - pz) * ivz
-    t_in = jnp.maximum(jnp.maximum(jnp.minimum(tx0, tx1),
-                                   jnp.minimum(ty0, ty1)),
-                       jnp.minimum(tz0, tz1))
-    t_out = jnp.minimum(jnp.minimum(jnp.maximum(tx0, tx1),
-                                    jnp.maximum(ty0, ty1)),
-                        jnp.maximum(tz0, tz1))
     hi_bound = lim * 1.000001 + 1e-5
-    crosses = ((t_out >= jnp.minimum(f32(t_min), 0.0)) & (t_in <= t_out)
-               & (t_in <= hi_bound))
-    pred_sh = alive_sh & crosses
+    t_lo = jnp.minimum(f32(t_min), 0.0)
+    best_in = jnp.full(lim.shape, jnp.inf, f32)
+    key = jnp.full(lim.shape, f32(n_box))
+    for b in range(n_box):
+        bx0, by0, bz0 = box_ref[b, 0], box_ref[b, 1], box_ref[b, 2]
+        bx1, by1, bz1 = box_ref[b, 3], box_ref[b, 4], box_ref[b, 5]
+        tx0 = (bx0 - px) * ivx
+        tx1 = (bx1 - px) * ivx
+        ty0 = (by0 - py) * ivy
+        ty1 = (by1 - py) * ivy
+        tz0 = (bz0 - pz) * ivz
+        tz1 = (bz1 - pz) * ivz
+        t_in = jnp.maximum(jnp.maximum(jnp.minimum(tx0, tx1),
+                                       jnp.minimum(ty0, ty1)),
+                           jnp.minimum(tz0, tz1))
+        t_out = jnp.minimum(jnp.minimum(jnp.maximum(tx0, tx1),
+                                        jnp.maximum(ty0, ty1)),
+                            jnp.maximum(tz0, tz1))
+        better = ((t_out >= t_lo) & (t_in <= t_out) & (t_in <= hi_bound)
+                  & (t_in < best_in))
+        best_in = jnp.where(better, t_in, best_in)
+        key = jnp.where(better, f32(b), key)
+    key = jnp.where(alive_sh, key, f32(n_box))
 
     out_ref[0] = t
     out_ref[1] = nx
@@ -1003,7 +1092,7 @@ def _k1b_kernel(seed_ref, light_ref, mat_ref, sky_ref, glo_ref, pix_ref,
     out_ref[9] = wly
     out_ref[10] = wlz
     out_ref[11] = lim
-    out_ref[12] = pred_sh.astype(f32)
+    out_ref[12] = key
 
 
 # --------------------------------------------------------------------------
@@ -1084,19 +1173,15 @@ def _run_steps(stri, ssph, mat, light, sky, smc_tri, smc_aabb, smc_box,
                cap_main, cap_shadow, cs, n_clusters, boxes, sort_boxes,
                msub, interpret):
     n_box = len(boxes)
-    box_lo = smc_box[:, 0:3]
-    box_hi = smc_box[:, 3:6]
     rp = sf.shape[1] * 128
     g = sf.shape[1] // SUB
 
     k1 = functools.partial(_k1_kernel, n_stri=n_stri, n_sph=n_sph,
-                           t_min=t_min)
+                           n_box=n_box, t_min=t_min)
     k1b = functools.partial(
-        _k1b_kernel, n_light=n_light, n_mat=n_mat, n_pix=n_pix,
-        t_min=t_min, eps_offset=eps_offset, shadow_tol=shadow_tol)
-    glo8 = jnp.concatenate(
-        [jnp.asarray(gate_lo, jnp.float32), jnp.asarray(gate_hi, jnp.float32),
-         jnp.zeros((2,), jnp.float32)]).reshape(1, 8)
+        _k1b_kernel, n_light=n_light, n_mat=n_mat, n_box=n_box,
+        n_pix=n_pix, t_min=t_min, eps_offset=eps_offset,
+        shadow_tol=shadow_tol)
     k2 = functools.partial(
         _k2_kernel, n_stri=n_stri, n_sph=n_sph, n_light=n_light,
         n_mat=n_mat, width=width, height=height, n_pix=n_pix, t_min=t_min,
@@ -1116,23 +1201,21 @@ def _run_steps(stri, ssph, mat, light, sky, smc_tri, smc_aabb, smc_box,
         pixu = flat(pix_planes)[0]
         valid = pixu < jnp.uint32(n_pix)
 
-        # K1: smalls intersect.
+        # K1: smalls intersect + in-kernel first-box key (plane 5).
         hf = pl.pallas_call(
             k1, grid=(g,),
             in_specs=[_smem_spec(stri.shape), _smem_spec(ssph.shape),
-                      _plane_spec(6)],
-            out_specs=_plane_spec(5),
-            out_shape=jax.ShapeDtypeStruct((5, rp // 128, 128), jnp.float32),
+                      _smem_spec(smc_box.shape), _plane_spec(6)],
+            out_specs=_plane_spec(6),
+            out_shape=jax.ShapeDtypeStruct((6, rp // 128, 128), jnp.float32),
             interpret=interpret,
-        )(stri, ssph, sf[0:6])
-        t_s = flat(hf)[0]
+        )(stri, ssph, smc_box, sf[0:6])
 
         # Mesh main pass: compact lanes whose segment enters SOME spatial
         # box before the smalls winner (tighter than the union AABB),
         # sorted by first-entered box so kernel tiles can skip whole boxes,
         # intersect via the SMEM cluster kernel, scatter the winners back.
-        key_m = _first_box_key(o.T, d.T, t_s, box_lo, box_hi,
-                               jnp.float32(t_min))
+        key_m = flat(hf)[5]
         pred = valid & (key_m < n_box)
         idx, of1 = _compact_indices(pred, cap_main, rp)
         if sort_boxes:
@@ -1164,24 +1247,23 @@ def _run_steps(stri, ssph, mat, light, sky, smc_tri, smc_aabb, smc_box,
             in_specs=[
                 _smem_spec((1, 1)), _smem_spec(light.shape),
                 _smem_spec(mat.shape), _smem_spec((1, 8)),
-                _smem_spec((1, 8)),
-                _plane_spec(1), _plane_spec(6), _plane_spec(5),
+                _smem_spec(smc_box.shape),
+                _plane_spec(1), _plane_spec(6), _plane_spec(6),
                 _plane_spec(5), _plane_spec(2),
             ],
             out_specs=_plane_spec(13),
             out_shape=jax.ShapeDtypeStruct((13, rp // 128, 128),
                                            jnp.float32),
             interpret=interpret,
-        )(seed, light, mat, sky.reshape(1, 8), glo8, pix_planes, sf[0:6],
-          hf, planes(mesh), si[0:2])
+        )(seed, light, mat, sky.reshape(1, 8), smc_box, pix_planes,
+          sf[0:6], hf, planes(mesh), si[0:2])
         kb = flat(k1b_out)
 
-        # Shadow pass: compact (per-box key tightens K1b's union-AABB
-        # predicate), sort by first-entered box, SMEM occlusion kernel,
-        # scatter the flag.
-        key_s = _first_box_key(kb[5:8].T, kb[8:11].T, kb[11], box_lo,
-                               box_hi, jnp.float32(t_min))
-        pred_sh = (kb[12] > 0.5) & (key_s < n_box)
+        # Shadow pass: compact on K1b's in-kernel first-box key (plane 12:
+        # n_box = no shadow test needed), sort by it, SMEM occlusion
+        # kernel, scatter the flag.
+        key_s = kb[12]
+        pred_sh = key_s < n_box
         idx2, of2 = _compact_indices(pred_sh, cap_shadow, rp)
         if sort_boxes:
             ks2 = jnp.where(idx2 < rp, key_s[jnp.clip(idx2, 0, rp - 1)],

@@ -23,6 +23,9 @@ def main():
     ap.add_argument("--steps", type=int, default=16)
     ap.add_argument("--cap-main", type=int, default=0)
     ap.add_argument("--cap-shadow", type=int, default=0)
+    ap.add_argument("--msub", type=int, default=0)
+    ap.add_argument("--no-sort", action="store_true")
+    ap.add_argument("--reps", type=int, default=4)
     args = ap.parse_args()
 
     scene = cornell.cornell_mesh_scene(
@@ -37,11 +40,13 @@ def main():
           f"{mp.smc_aabb.shape[0]} x {mp.cs})")
 
     state = mc.wavefront_init(scene, cam, cfg, key)
-    kw = {}
-    if args.cap_main:
-        kw["cap_main"] = args.cap_main
-    if args.cap_shadow:
-        kw["cap_shadow"] = args.cap_shadow
+    rp = -(-args.size * args.size // 4096) * 4096
+    kw = {"cap_main": args.cap_main or rp // 8,
+          "cap_shadow": args.cap_shadow or rp // 12}
+    if args.msub:
+        kw["msub"] = args.msub
+    if args.no_sort:
+        kw["sort_boxes"] = False
 
     # warm up / compile
     t0 = time.perf_counter()
@@ -53,7 +58,7 @@ def main():
           f"pred rates main={int(np1[0])/lanes:.3f} "
           f"shadow={int(np1[1])/lanes:.3f}")
 
-    reps = 4
+    reps = args.reps
     t0 = time.perf_counter()
     st2 = st
     for _ in range(reps):
