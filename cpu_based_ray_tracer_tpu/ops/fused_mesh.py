@@ -612,6 +612,12 @@ def build_smem_clusters(verts: np.ndarray, normals: np.ndarray,
     from cpu_based_ray_tracer_tpu.ops import bvh as bvh_ops
 
     assert cluster_size * MESH_NF % 128 == 0
+    # The chunked kernel path iterates cs // _TRI_UNROLL inner chunks, so a
+    # cluster size that is not a whole number of chunks (e.g. 192) would
+    # silently skip its tail triangles (ADVICE r4 medium).
+    assert cluster_size <= _TRI_UNROLL or cluster_size % _TRI_UNROLL == 0, (
+        f"cluster_size {cluster_size} > {_TRI_UNROLL} must be a multiple "
+        f"of {_TRI_UNROLL} (the kernels' inner unroll chunk)")
     tris = np.asarray(verts, np.float64).reshape(-1, 3, 3)
     n = len(tris)
     cs = cluster_size
@@ -1120,29 +1126,6 @@ def _compact_indices(pred, cap: int, n: int):
     idx = jnp.full((cap,), n, jnp.int32).at[pos].set(
         jnp.arange(n, dtype=jnp.int32), mode="drop")
     return idx, jnp.maximum(count - cap, 0)
-
-
-def _first_box_key(o, d, t_hi, box_lo, box_hi, t_lo):
-    """Index of the first spatial box the segment [~0, t_hi] enters (by
-    t_in), or B when it reaches none — per lane.  o/d: (R, 3); box_lo/hi:
-    (B, 3) arrays.  Conservative slack as in ``_slab_crosses``."""
-    inv = 1.0 / jnp.where(jnp.abs(d) < 1e-20,
-                          jnp.where(d < 0, -1e-20, 1e-20), d)
-    n_box = box_lo.shape[0]
-    best = jnp.full(o.shape[:1], jnp.inf, jnp.float32)
-    key = jnp.full(o.shape[:1], n_box, jnp.int32)
-    hi_bound = t_hi * 1.000001 + 1e-5
-    for b in range(n_box):
-        t0 = (box_lo[b][None, :] - o) * inv
-        t1 = (box_hi[b][None, :] - o) * inv
-        t_in = jnp.max(jnp.minimum(t0, t1), axis=-1)
-        t_out = jnp.min(jnp.maximum(t0, t1), axis=-1)
-        crossed = ((t_out >= jnp.minimum(t_lo, 0.0)) & (t_in <= t_out)
-                   & (t_in <= hi_bound))
-        better = crossed & (t_in < best)
-        best = jnp.where(better, t_in, best)
-        key = jnp.where(better, b, key)
-    return key
 
 
 def _slab_crosses(o, d, lo, hi, t_lo, t_hi):

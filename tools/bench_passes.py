@@ -187,17 +187,29 @@ def main():
         # zero-weight pruning (cos_s <= 0 lanes skip the mesh occlusion
         # test); early coherent-camera steps overflow these on purpose —
         # the production driver doubles caps on overflow.
+        cap_main, cap_shadow = rp // 8, rp // 16
         st, of, _ = fused_mesh.wavefront_steps_fused_mesh(
-            mp, cam, cfg, key, st, n_steps, cap_main=rp // 8,
-            cap_shadow=rp // 16)
+            mp, cam, cfg, key, st, n_steps, cap_main=cap_main,
+            cap_shadow=cap_shadow)
         jax.block_until_ready(st.acc)
-        r0, t0 = int(np.asarray(st.nrays)), time.perf_counter()
-        for _ in range(3):
-            st, of, _ = fused_mesh.wavefront_steps_fused_mesh(
-                mp, cam, cfg, key, st, n_steps, cap_main=rp // 8,
-                cap_shadow=rp // 16)
-        jax.block_until_ready(st.acc)
-        dt = time.perf_counter() - t0
+        # A timing run under compaction overflow advances invalid state
+        # (engine docstring) — retry with doubled caps until clean
+        # (ADVICE r4: never derive a throughput receipt from an
+        # overflowed run).
+        for _ in range(4):
+            r0, t0 = int(np.asarray(st.nrays)), time.perf_counter()
+            for _ in range(3):
+                st, of, _ = fused_mesh.wavefront_steps_fused_mesh(
+                    mp, cam, cfg, key, st, n_steps, cap_main=cap_main,
+                    cap_shadow=cap_shadow)
+            jax.block_until_ready(st.acc)
+            dt = time.perf_counter() - t0
+            if int(np.asarray(of)) == 0:
+                break
+            print(f"mcmeshfused: overflow={int(np.asarray(of))} -> "
+                  f"doubling caps and re-timing", flush=True)
+            cap_main = min(2 * cap_main, rp)
+            cap_shadow = min(2 * cap_shadow, rp)
         P["mc_mesh_fused"] = {
             "rays_per_s": (int(np.asarray(st.nrays)) - r0) / dt,
             "tris": int(scene.triangles.count),
