@@ -6,38 +6,35 @@ the BVH; shadow rays at ``:183-184``; traversal ``BVH.h:81-100``).  Round 3
 covered that architecture only through the XLA wavefront + packet intersector
 at 9.2 Mray/s — 180x below the fused Cornell kernel (VERDICT r3 missing #1).
 
-This module is the TPU-native answer, designed around two facts measured on
-the v5e chip (tools/exp_mesh_probe.py, r4):
-
-- per-cluster ``lax.cond`` guards inside a kernel cost ~2 us each (a vector
-  any() stalls the scalar pipe), so fine-grained in-kernel BVH-style culling
-  is off the table on a lane-synchronous machine;
-- an XLA compaction round-trip (cumsum -> compact indices -> gather 6 planes
-  -> scatter 5) over 800k lanes costs ~1.6 ms — cheap against a 16 ms/step
-  budget at 100 Mray/s.
-
-So instead of traversing a tree per lane, the engine **compacts the work**:
+This module is the TPU-native answer: instead of traversing a tree per
+lane, the engine **compacts the work**.  The r5 architecture (after the r4
+decomposition showed ~10.5 ms/step of XLA compaction/sort/dispatch glue
+around ~12 ms of kernels):
 
   K1 (Pallas)  unrolled "small"-primitive intersect (room walls, boxes,
                spheres — the fused.py formulation) -> per-lane best (t, n,
-               material id).
-  XLA          mesh predicate: the ray's segment enters the gated mesh AABB
-               before the smalls winner (slab test + t_in <= t_small) —
-               only those lanes can see the mesh.  Compact them (~10-20% of
-               lanes on bunny-in-Cornell), run the packet-culled cluster
-               kernel (``ops.packet``) on the compact buffer, scatter the
-               winners back, merge, flip normals, compute the shading point.
-  XLA          NEE light sample (same pcg4d streams as the kernels), shadow
-               predicate (segment to the sampled light point crosses the
-               mesh AABB within dist - tol), compact, packet occlusion pass,
-               scatter a per-lane occluded-by-mesh flag.
+               material id); mesh predicate (segment crosses a gated
+               cluster AABB before the smalls winner); IN-KERNEL funnel
+               compaction (ops.compact) of the crossing lanes' (o, d, id)
+               planes, appended 128-row-aligned at an SMEM-carried offset.
+  mesh pass    SMEM-resident (or double-buffered streaming) cluster sweep
+  (Pallas)     over the packed buffer — cond-free (measured: any()-guards
+               cost more than they save on packed mixed-bounce tiles),
+               tail tiles beyond the packed count skip everything.
+  XLA          ONE scatter: winners back to full planes via the packed id
+               plane (the only gather/scatter left in the step).
+  K1b (Pallas) merge + facing normal + shading point + NEE light sample
+               (same pcg4d streams) + shadow predicate + in-kernel pack of
+               the shadow rays.
+  occl pass    same cluster sweep, division-free occlusion accept.
+  XLA          ONE scatter of the occluded flag.
   K2 (Pallas)  everything else fused: sky/emissive accumulation, NEE with
-               the in-kernel light sample + unrolled smalls shadow test OR'd
-               with the mesh flag, RR + hemisphere scatter, dead-path
+               the in-kernel light sample + unrolled smalls shadow test
+               OR'd with the mesh flag, RR + hemisphere scatter, dead-path
                regeneration — ``ops.fused``'s step with the intersection
                factored out.
 
-Lanes stay in pixel order; only compacted (o, d) subsets move.  Semantics
+Lanes stay in pixel order; only packed (o, d) subsets move.  Semantics
 are lane-for-lane those of ``monte_carlo.wavefront_steps`` driven through
 ``models.mesh.make_intersect_fn`` (same RNG streams, same estimator, same
 masking) — gated by ``tests/test_fused_mesh.py``.
@@ -62,6 +59,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from cpu_based_ray_tracer_tpu.config import RenderConfig
+from cpu_based_ray_tracer_tpu.ops import compact as compact_ops
 from cpu_based_ray_tracer_tpu.ops import gather
 from cpu_based_ray_tracer_tpu.ops import packet as packet_ops
 from cpu_based_ray_tracer_tpu.ops.fused import (NO_HIT, SUB, LANES_PER_TILE,
@@ -203,12 +201,36 @@ def pack_mesh_scene(scene: Scene, gate_mask: Optional[np.ndarray] = None,
 
 # --------------------------------------------------------------------------
 # K1: unrolled smalls intersect (the fused.py main-intersect section with
-# material IDS instead of inlined albedo/emission rows).
+# material IDS instead of inlined albedo/emission rows) + mesh predicate +
+# IN-KERNEL compaction of the crossing lanes (r5; ops.compact).
+#
+# Replaces the r4 [K1 -> XLA cumsum/scatter/sort/gather] front half, which
+# measured ~2.5-5.5 ms/step of glue on the v5e.  The predicate tests the
+# segment [~0, best_t] against the per-cluster AABBs (tighter than r4's
+# 8-box partition), and the crossing lanes' (o, d, lane-id) planes are
+# funnel-packed and appended 128-row-aligned to ``mr_out`` at a running
+# SMEM offset.  Lanes beyond the appended data carry id ``rp_fill`` (>= rp)
+# so the scatter-back drops them.  cnt_out rows > cap_rows = overflow (the
+# driver doubles the cap and re-runs the chunk; results never silently
+# wrong).
 # --------------------------------------------------------------------------
 
-def _k1_kernel(stri_ref, ssph_ref, box_ref, rf_ref, hf_out, *, n_stri: int,
-               n_sph: int, n_box: int, t_min: float):
+def _k1_kernel(stri_ref, ssph_ref, caabb_ref, pix_ref, rf_ref, hf_out,
+               mr_out, cnt_out, off_sm, *, n_stri: int, n_sph: int,
+               n_pred: int, n_pix: int, t_min: float, cap_rows: int,
+               rp_fill: float):
     f32 = jnp.float32
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        off_sm[0] = 0
+        off_sm[1] = 0
+        # pre-fill the id plane so rows never reached by an append (the
+        # tail beyond the final offset, or everything after an overflow
+        # skip) scatter as drops, not as stale lane ids
+        mr_out[6] = jnp.full((cap_rows, 128), f32(rp_fill))
+
     TRI = [[stri_ref[n, k] for k in range(13)] for n in range(n_stri)]
     SPH = [[ssph_ref[m, k] for k in range(5)] for m in range(n_sph)]
     ox, oy, oz = rf_ref[0], rf_ref[1], rf_ref[2]
@@ -268,9 +290,9 @@ def _k1_kernel(stri_ref, ssph_ref, box_ref, rf_ref, hf_out, *, n_stri: int,
         bnz = jnp.where(ok, (hpz - cz) * inv_r, bnz)
         bmid = jnp.where(ok, mid, bmid)
 
-    # First-entered spatial box of the segment [~0, best_t] — the mesh-pass
-    # predicate + sort key, fused here so the XLA glue never re-reads the
-    # (o, d) planes (was ``_first_box_key``; same fp ops, same slack).
+    # Mesh predicate: does the segment [~0, best_t * slack] cross ANY gated
+    # cluster AABB before the smalls winner?  Conservative (a missed lane
+    # would silently skip its mesh test — same slack as _slab_crosses).
     def sinv(v):
         tiny = jnp.where(v < 0.0, f32(-1e-20), f32(1e-20))
         return 1.0 / jnp.where(jnp.abs(v) < 1e-20, tiny, v)
@@ -278,11 +300,10 @@ def _k1_kernel(stri_ref, ssph_ref, box_ref, rf_ref, hf_out, *, n_stri: int,
     ivx, ivy, ivz = sinv(dx), sinv(dy), sinv(dz)
     hi_bound = best_t * 1.000001 + 1e-5
     t_lo = jnp.minimum(f32(t_min), 0.0)
-    best_in = jnp.full(ox.shape, jnp.inf, f32)
-    key = jnp.full(ox.shape, f32(n_box))
-    for b in range(n_box):
-        bx0, by0, bz0 = box_ref[b, 0], box_ref[b, 1], box_ref[b, 2]
-        bx1, by1, bz1 = box_ref[b, 3], box_ref[b, 4], box_ref[b, 5]
+    crossed = jnp.zeros(ox.shape, jnp.bool_)
+    for b in range(n_pred):
+        bx0, by0, bz0 = caabb_ref[b, 0], caabb_ref[b, 1], caabb_ref[b, 2]
+        bx1, by1, bz1 = caabb_ref[b, 3], caabb_ref[b, 4], caabb_ref[b, 5]
         tx0 = (bx0 - ox) * ivx
         tx1 = (bx1 - ox) * ivx
         ty0 = (by0 - oy) * ivy
@@ -295,17 +316,39 @@ def _k1_kernel(stri_ref, ssph_ref, box_ref, rf_ref, hf_out, *, n_stri: int,
         t_out = jnp.minimum(jnp.minimum(jnp.maximum(tx0, tx1),
                                         jnp.maximum(ty0, ty1)),
                             jnp.maximum(tz0, tz1))
-        better = ((t_out >= t_lo) & (t_in <= t_out) & (t_in <= hi_bound)
-                  & (t_in < best_in))
-        best_in = jnp.where(better, t_in, best_in)
-        key = jnp.where(better, f32(b), key)
+        crossed = crossed | ((t_out >= t_lo) & (t_in <= t_out)
+                             & (t_in <= hi_bound))
+
+    valid = pix_ref[0] < jnp.uint32(n_pix)
+    pred = crossed & valid
+
+    si_ = jax.lax.broadcasted_iota(jnp.int32, ox.shape, 0)
+    li_ = jax.lax.broadcasted_iota(jnp.int32, ox.shape, 1)
+    gid = ((i * SUB + si_) * 128 + li_).astype(f32)
+    packed, count = compact_ops.funnel_pack(
+        [ox, oy, oz, dx, dy, dz, gid], pred.astype(jnp.int32))
+    flat = si_ * 128 + li_
+    packed[6] = jnp.where(flat < count, packed[6], f32(rp_fill))
+    off = off_sm[0]
+
+    @pl.when(off + SUB <= cap_rows)
+    def _():
+        for j in range(7):
+            mr_out[j, pl.ds(off, SUB), :] = packed[j]
+
+    off_sm[0] = off + (count + 127) // 128
+    off_sm[1] = off_sm[1] + count
+
+    @pl.when(i == pl.num_programs(0) - 1)
+    def _():
+        cnt_out[0, 0] = off_sm[0]
+        cnt_out[0, 1] = off_sm[1]
 
     hf_out[0] = best_t
     hf_out[1] = bnx
     hf_out[2] = bny
     hf_out[3] = bnz
     hf_out[4] = bmid
-    hf_out[5] = key
 
 
 # --------------------------------------------------------------------------
@@ -649,7 +692,9 @@ def build_smem_clusters(verts: np.ndarray, normals: np.ndarray,
         aabb[ci, 0:3] = np.nextafter(lo.astype(np.float32), -np.inf)
         aabb[ci, 3:6] = np.nextafter(hi.astype(np.float32), np.inf)
 
-    n_box = int(min(8, c))
+    # Spatial boxes now serve only as predicate AABBs for meshes with more
+    # clusters than K1's unrolled slab loop can afford (> 64).
+    n_box = int(min(64, c))
     edges = np.linspace(0, c, n_box + 1).astype(int)
     boxes = tuple((int(edges[b]), int(edges[b + 1])) for b in range(n_box))
     box_aabb = np.zeros((n_box, 8), np.float32)
@@ -662,276 +707,238 @@ def build_smem_clusters(verts: np.ndarray, normals: np.ndarray,
         box_aabb=jnp.asarray(box_aabb), boxes=boxes)
 
 
-def _mesh_nearest_kernel(box_ref, aabb_ref, rays_ref, tri_hbm, out_ref,
-                         tri_smem, sem, *, boxes: tuple, n_clusters: int,
-                         cs: int, t_min: float):
-    """Nearest mesh hit for one (SUB, 128) tile of compacted rays.
-
-    Clusters are grouped into contiguous spatial BOXES (BVH-leaf order);
-    each box runs under a tile-any() cond, so a tile whose rays (sorted by
-    first-entered box in the glue) never reach a box skips its whole
-    cluster range.  Within a box, clusters stream HBM -> SMEM double-
-    buffered with the per-cluster cull; the prefetch never crosses the box
-    boundary (a later box may be cond-skipped, and an orphaned in-flight
-    DMA leaves its semaphore signaled -> device abort, observed on-chip —
-    the interpreter's synchronous DMAs cannot catch it)."""
+def _tri_loop_nearest(at, slot, carry, ox, oy, oz, dx, dy, dz, *, cs,
+                      t_min):
+    """Unrolled Moeller-Trumbore winner chain over one cluster.  ``at`` is
+    the SMEM scalar accessor, ``slot`` its leading index (the resident
+    cluster id or the double-buffer slot).  cs > _TRI_UNROLL runs an inner
+    fori_loop of unrolled chunks (bounds the Mosaic live-value set — a
+    fully-unrolled 256-triangle chain spills ~22 MB)."""
     f32 = jnp.float32
-    ox, oy, oz = rays_ref[0], rays_ref[1], rays_ref[2]
-    dx, dy, dz = rays_ref[3], rays_ref[4], rays_ref[5]
 
-    def safe_inv(v):
-        tiny = jnp.where(v < 0.0, f32(-1e-20), f32(1e-20))
-        return 1.0 / jnp.where(jnp.abs(v) < 1e-20, tiny, v)
+    def tri_test(carry, base):
+        best_t, bnx, bny, bnz, bmid = carry
+        for kk in range(min(cs, _TRI_UNROLL)):
+            k = base + kk
+            v0x, v0y, v0z = at(slot, k, 0), at(slot, k, 1), at(slot, k, 2)
+            e1x, e1y, e1z = at(slot, k, 3), at(slot, k, 4), at(slot, k, 5)
+            e2x, e2y, e2z = at(slot, k, 6), at(slot, k, 7), at(slot, k, 8)
+            nx, ny, nz = at(slot, k, 9), at(slot, k, 10), at(slot, k, 11)
+            mid = at(slot, k, 12)
+            s1x = dy * e2z - dz * e2y
+            s1y = dz * e2x - dx * e2z
+            s1z = dx * e2y - dy * e2x
+            det = s1x * e1x + s1y * e1y + s1z * e1z
+            okd = jnp.abs(det) > _DET_EPS
+            inv = 1.0 / jnp.where(okd, det, f32(1.0))
+            sx, sy, sz = ox - v0x, oy - v0y, oz - v0z
+            s2x = sy * e1z - sz * e1y
+            s2y = sz * e1x - sx * e1z
+            s2z = sx * e1y - sy * e1x
+            t = (s2x * e2x + s2y * e2y + s2z * e2z) * inv
+            b1 = (s1x * sx + s1y * sy + s1z * sz) * inv
+            b2 = (s2x * dx + s2y * dy + s2z * dz) * inv
+            ok = (okd & (t > t_min) & (b1 >= 0.0) & (b2 >= 0.0)
+                  & (1.0 - b1 - b2 >= 0.0) & (t < best_t))
+            best_t = jnp.where(ok, t, best_t)
+            bnx = jnp.where(ok, nx, bnx)
+            bny = jnp.where(ok, ny, bny)
+            bnz = jnp.where(ok, nz, bnz)
+            bmid = jnp.where(ok, mid, bmid)
+        return best_t, bnx, bny, bnz, bmid
 
-    ix, iy, iz = safe_inv(dx), safe_inv(dy), safe_inv(dz)
+    if cs <= _TRI_UNROLL:
+        return tri_test(carry, 0)
+    return jax.lax.fori_loop(
+        0, cs // _TRI_UNROLL,
+        lambda ci, cy: tri_test(cy, ci * _TRI_UNROLL), carry)
+
+
+def _tri_loop_occl(at, slot, occluded, ox, oy, oz, dx, dy, dz, lim, *, cs,
+                   t_min):
+    """Division-free occlusion accept over one cluster (ops.fused
+    shadow-pass trick)."""
+
+    def tri_test(occluded, base):
+        for kk in range(min(cs, _TRI_UNROLL)):
+            k = base + kk
+            v0x, v0y, v0z = at(slot, k, 0), at(slot, k, 1), at(slot, k, 2)
+            e1x, e1y, e1z = at(slot, k, 3), at(slot, k, 4), at(slot, k, 5)
+            e2x, e2y, e2z = at(slot, k, 6), at(slot, k, 7), at(slot, k, 8)
+            s1x = dy * e2z - dz * e2y
+            s1y = dz * e2x - dx * e2z
+            s1z = dx * e2y - dy * e2x
+            det = s1x * e1x + s1y * e1y + s1z * e1z
+            okd = jnp.abs(det) > _DET_EPS
+            sd = jnp.where(det >= 0.0, jnp.float32(1.0), jnp.float32(-1.0))
+            adet = det * sd
+            sx, sy, sz = ox - v0x, oy - v0y, oz - v0z
+            s2x = sy * e1z - sz * e1y
+            s2y = sz * e1x - sx * e1z
+            s2z = sx * e1y - sy * e1x
+            tn = s2x * e2x + s2y * e2y + s2z * e2z
+            b1n = s1x * sx + s1y * sy + s1z * sz
+            b2n = s2x * dx + s2y * dy + s2z * dz
+            tsd = tn * sd
+            occluded = occluded | (
+                okd & (tsd > t_min * adet) & (tsd <= lim * adet)
+                & (b1n * sd >= 0.0) & (b2n * sd >= 0.0)
+                & ((det - b1n - b2n) * sd >= 0.0))
+        return occluded
+
+    if cs <= _TRI_UNROLL:
+        return tri_test(occluded, 0)
+    return jax.lax.fori_loop(
+        0, cs // _TRI_UNROLL,
+        lambda ci, oc: tri_test(oc, ci * _TRI_UNROLL), occluded)
+
+
+def _smem_at(tri_smem):
+    def at(slot, k, j):
+        f = k * MESH_NF + j
+        return tri_smem[slot, f // 128, f % 128]
+    return at
+
+
+def _cluster_sweep(i, cnt_ref, tri_hbm, tri_smem, sem, run_cluster, carry,
+                   *, n_clusters, msub, resident):
+    """Drive ``run_cluster(slot, carry)`` over every cluster for one kernel
+    tile.  r5 design, measured on-chip (tools/exp_smem_resident.py):
+
+    - NO per-cluster or per-box lax.cond culling: a vector any() costs
+      ~1-2 us against a ~8 us cond-free cluster body, and packed
+      mixed-bounce tiles have near-zero skip rates (the bunny's clusters
+      overlap along nearly every crossing ray — r4's box-sorted culling
+      measured at most 1.3x, twice).  The XLA-side box sort is gone with
+      it.
+    - ``resident``: the whole cluster table is DMA'd HBM -> SMEM once at
+      tile 0 (persistent scratch across the sequential grid) — one DMA per
+      PASS instead of clusters x tiles.  Falls back to per-cluster
+      double-buffered streaming for tables past the SMEM budget.
+    - Tiles at/beyond the packed population (cnt_ref[0, 0] rows) skip
+      everything; their output rows scatter as drops (id = rp_fill).
+    """
+    cap_rows = pl.num_programs(0) * msub
+    live_rows = jnp.minimum(cnt_ref[0, 0], cap_rows)
+
+    if resident:
+        @pl.when((i == 0) & (live_rows > 0))
+        def _():
+            dma = pltpu.make_async_copy(tri_hbm, tri_smem, sem)
+            dma.start()
+            dma.wait()
+
+        return jax.lax.fori_loop(0, n_clusters, run_cluster, carry)
 
     def get_dma(slot, c):
         return pltpu.make_async_copy(tri_hbm.at[c], tri_smem.at[slot],
                                      sem.at[slot])
 
-    def at(slot, k, j):
-        f = k * MESH_NF + j
-        return tri_smem[slot, f // 128, f % 128]
+    get_dma(0, 0).start()
 
-    def _slab6(ref, i):
-        bx0, by0, bz0 = ref[i, 0], ref[i, 1], ref[i, 2]
-        bx1, by1, bz1 = ref[i, 3], ref[i, 4], ref[i, 5]
-        tx0 = (bx0 - ox) * ix
-        tx1 = (bx1 - ox) * ix
-        ty0 = (by0 - oy) * iy
-        ty1 = (by1 - oy) * iy
-        tz0 = (bz0 - oz) * iz
-        tz1 = (bz1 - oz) * iz
-        t_in = jnp.maximum(jnp.maximum(jnp.minimum(tx0, tx1),
-                                       jnp.minimum(ty0, ty1)),
-                           jnp.minimum(tz0, tz1))
-        t_out = jnp.minimum(jnp.minimum(jnp.maximum(tx0, tx1),
-                                        jnp.maximum(ty0, ty1)),
-                            jnp.maximum(tz0, tz1))
-        return t_in, t_out
+    def body(c, carry):
+        slot = jax.lax.rem(c, 2)
 
-    def make_body(c_end):
-        def body(c, carry):
-            best_t, bnx, bny, bnz, bmid = carry
-            slot = jax.lax.rem(c, 2)
+        @pl.when(c + 1 < n_clusters)
+        def _():
+            get_dma(jax.lax.rem(c + 1, 2), c + 1).start()
 
-            @pl.when(c + 1 < c_end)
-            def _():
-                get_dma(jax.lax.rem(c + 1, 2), c + 1).start()
+        get_dma(slot, c).wait()
+        return run_cluster(slot, carry)
 
-            get_dma(slot, c).wait()
-
-            t_in, t_out = _slab6(aabb_ref, c)
-            live = (t_out >= 0.0) & (t_in <= t_out) & (t_in <= best_t)
-
-            def tri_test(carry, base):
-                best_t, bnx, bny, bnz, bmid = carry
-                for kk in range(min(cs, _TRI_UNROLL)):
-                    k = base + kk
-                    v0x, v0y, v0z = (at(slot, k, 0), at(slot, k, 1),
-                                     at(slot, k, 2))
-                    e1x, e1y, e1z = (at(slot, k, 3), at(slot, k, 4),
-                                     at(slot, k, 5))
-                    e2x, e2y, e2z = (at(slot, k, 6), at(slot, k, 7),
-                                     at(slot, k, 8))
-                    nx, ny, nz = (at(slot, k, 9), at(slot, k, 10),
-                                  at(slot, k, 11))
-                    mid = at(slot, k, 12)
-                    s1x = dy * e2z - dz * e2y
-                    s1y = dz * e2x - dx * e2z
-                    s1z = dx * e2y - dy * e2x
-                    det = s1x * e1x + s1y * e1y + s1z * e1z
-                    okd = jnp.abs(det) > _DET_EPS
-                    inv = 1.0 / jnp.where(okd, det, f32(1.0))
-                    sx, sy, sz = ox - v0x, oy - v0y, oz - v0z
-                    s2x = sy * e1z - sz * e1y
-                    s2y = sz * e1x - sx * e1z
-                    s2z = sx * e1y - sy * e1x
-                    t = (s2x * e2x + s2y * e2y + s2z * e2z) * inv
-                    b1 = (s1x * sx + s1y * sy + s1z * sz) * inv
-                    b2 = (s2x * dx + s2y * dy + s2z * dz) * inv
-                    ok = (okd & (t > t_min) & (b1 >= 0.0) & (b2 >= 0.0)
-                          & (1.0 - b1 - b2 >= 0.0) & (t < best_t))
-                    best_t = jnp.where(ok, t, best_t)
-                    bnx = jnp.where(ok, nx, bnx)
-                    bny = jnp.where(ok, ny, bny)
-                    bnz = jnp.where(ok, nz, bnz)
-                    bmid = jnp.where(ok, mid, bmid)
-                return best_t, bnx, bny, bnz, bmid
-
-            def hit(carry):
-                # cs <= _TRI_UNROLL: fully unrolled (the measured-fastest
-                # small-cluster form).  Larger clusters run an inner
-                # fori_loop of _TRI_UNROLL-triangle unrolled chunks with
-                # dynamic SMEM bases — bounds the Mosaic live-value set
-                # (a fully-unrolled 256-triangle chain spills ~22 MB).
-                if cs <= _TRI_UNROLL:
-                    return tri_test(carry, 0)
-                return jax.lax.fori_loop(
-                    0, cs // _TRI_UNROLL,
-                    lambda ci, cy: tri_test(cy, ci * _TRI_UNROLL), carry)
-
-            return jax.lax.cond(jnp.any(live), hit, lambda x: x,
-                                (best_t, bnx, bny, bnz, bmid))
-
-        return body
-
-    z = jnp.zeros(ox.shape, f32)
-    carry = (jnp.full(ox.shape, f32(NO_HIT)), z, z, z, z - 1.0)
-    for b, (c0, c1) in enumerate(boxes):
-        bt_in, bt_out = _slab6(box_ref, b)
-        box_live = (bt_out >= 0.0) & (bt_in <= bt_out) & (bt_in <= carry[0])
-
-        def run_box(carry, c0=c0, c1=c1):
-            get_dma(jax.lax.rem(c0, 2), c0).start()
-            return jax.lax.fori_loop(c0, c1, make_body(c1), carry)
-
-        carry = jax.lax.cond(jnp.any(box_live), run_box, lambda x: x, carry)
-    best_t, bnx, bny, bnz, bmid = carry
-    out_ref[0] = best_t
-    out_ref[1] = bnx
-    out_ref[2] = bny
-    out_ref[3] = bnz
-    out_ref[4] = bmid
+    return jax.lax.fori_loop(0, n_clusters, body, carry)
 
 
-def _mesh_occl_kernel(box_ref, aabb_ref, rays_ref, tri_hbm, out_ref,
-                      tri_smem, sem, *, boxes: tuple, n_clusters: int,
-                      cs: int, t_min: float):
-    """Occlusion test: is any mesh triangle within (t_min, lim] along the
-    ray?  rays_ref rows: px py pz wx wy wz lim.  Division-free accept tests
-    (ops.fused shadow-pass trick).  Box/cluster culling and the
-    box-bounded DMA prefetch as in ``_mesh_nearest_kernel``; a box (or
-    cluster) is skipped when every lane is already occluded or cannot
-    reach it."""
+def _mesh_nearest_kernel(cnt_ref, rays_ref, tri_hbm, out_ref, tri_smem,
+                         sem, *, n_clusters: int, cs: int, t_min: float,
+                         msub: int, resident: bool):
+    """Nearest mesh hit over the packed ray buffer (see _cluster_sweep)."""
     f32 = jnp.float32
-    ox, oy, oz = rays_ref[0], rays_ref[1], rays_ref[2]
-    dx, dy, dz = rays_ref[3], rays_ref[4], rays_ref[5]
-    lim = rays_ref[6]
+    i = pl.program_id(0)
+    cap_rows = pl.num_programs(0) * msub
+    live_rows = jnp.minimum(cnt_ref[0, 0], cap_rows)
 
-    def safe_inv(v):
-        tiny = jnp.where(v < 0.0, f32(-1e-20), f32(1e-20))
-        return 1.0 / jnp.where(jnp.abs(v) < 1e-20, tiny, v)
+    @pl.when(i * msub < live_rows)
+    def _():
+        ox, oy, oz = rays_ref[0], rays_ref[1], rays_ref[2]
+        dx, dy, dz = rays_ref[3], rays_ref[4], rays_ref[5]
+        at = _smem_at(tri_smem)
 
-    ix, iy, iz = safe_inv(dx), safe_inv(dy), safe_inv(dz)
+        def run_cluster(slot, carry):
+            return _tri_loop_nearest(at, slot, carry, ox, oy, oz,
+                                     dx, dy, dz, cs=cs, t_min=t_min)
 
-    def get_dma(slot, c):
-        return pltpu.make_async_copy(tri_hbm.at[c], tri_smem.at[slot],
-                                     sem.at[slot])
+        z = jnp.zeros(ox.shape, f32)
+        carry = (jnp.full(ox.shape, f32(NO_HIT)), z, z, z, z - 1.0)
+        carry = _cluster_sweep(i, cnt_ref, tri_hbm, tri_smem, sem,
+                               run_cluster, carry, n_clusters=n_clusters,
+                               msub=msub, resident=resident)
+        for p in range(5):
+            out_ref[p] = carry[p]
 
-    def at(slot, k, j):
-        f = k * MESH_NF + j
-        return tri_smem[slot, f // 128, f % 128]
 
-    def _slab6(ref, i):
-        bx0, by0, bz0 = ref[i, 0], ref[i, 1], ref[i, 2]
-        bx1, by1, bz1 = ref[i, 3], ref[i, 4], ref[i, 5]
-        tx0 = (bx0 - ox) * ix
-        tx1 = (bx1 - ox) * ix
-        ty0 = (by0 - oy) * iy
-        ty1 = (by1 - oy) * iy
-        tz0 = (bz0 - oz) * iz
-        tz1 = (bz1 - oz) * iz
-        t_in = jnp.maximum(jnp.maximum(jnp.minimum(tx0, tx1),
-                                       jnp.minimum(ty0, ty1)),
-                           jnp.minimum(tz0, tz1))
-        t_out = jnp.minimum(jnp.minimum(jnp.maximum(tx0, tx1),
-                                        jnp.maximum(ty0, ty1)),
-                            jnp.maximum(tz0, tz1))
-        return t_in, t_out
+def _mesh_occl_kernel(cnt_ref, rays_ref, tri_hbm, out_ref, tri_smem, sem,
+                      *, n_clusters: int, cs: int, t_min: float, msub: int,
+                      resident: bool):
+    """Occlusion test: any mesh triangle within (t_min, lim]?  rays_ref
+    planes: px py pz wx wy wz lim id(unused here)."""
+    i = pl.program_id(0)
+    cap_rows = pl.num_programs(0) * msub
+    live_rows = jnp.minimum(cnt_ref[0, 0], cap_rows)
 
-    def make_body(c_end):
-        def body(c, occ_f):
-            slot = jax.lax.rem(c, 2)
+    @pl.when(i * msub < live_rows)
+    def _():
+        ox, oy, oz = rays_ref[0], rays_ref[1], rays_ref[2]
+        dx, dy, dz = rays_ref[3], rays_ref[4], rays_ref[5]
+        lim = rays_ref[6]
+        at = _smem_at(tri_smem)
 
-            @pl.when(c + 1 < c_end)
-            def _():
-                get_dma(jax.lax.rem(c + 1, 2), c + 1).start()
+        def run_cluster(slot, occ_f):
+            # float 0/1 carry: Mosaic cannot legalize an i1 vector as an
+            # scf.for loop-carried value
+            occ = _tri_loop_occl(at, slot, occ_f > 0.5, ox, oy, oz,
+                                 dx, dy, dz, lim, cs=cs, t_min=t_min)
+            return occ.astype(jnp.float32)
 
-            get_dma(slot, c).wait()
+        occ_f = jnp.zeros(ox.shape, jnp.float32)
+        occ_f = _cluster_sweep(i, cnt_ref, tri_hbm, tri_smem, sem,
+                               run_cluster, occ_f,
+                               n_clusters=n_clusters, msub=msub,
+                               resident=resident)
+        out_ref[0] = occ_f
 
-            t_in, t_out = _slab6(aabb_ref, c)
-            live = ((t_out >= 0.0) & (t_in <= t_out) & (t_in <= lim)
-                    & (occ_f < 0.5))
 
-            def tri_test(occ_f, base):
-                occluded = occ_f > 0.5
-                for kk in range(min(cs, _TRI_UNROLL)):
-                    k = base + kk
-                    v0x, v0y, v0z = (at(slot, k, 0), at(slot, k, 1),
-                                     at(slot, k, 2))
-                    e1x, e1y, e1z = (at(slot, k, 3), at(slot, k, 4),
-                                     at(slot, k, 5))
-                    e2x, e2y, e2z = (at(slot, k, 6), at(slot, k, 7),
-                                     at(slot, k, 8))
-                    s1x = dy * e2z - dz * e2y
-                    s1y = dz * e2x - dx * e2z
-                    s1z = dx * e2y - dy * e2x
-                    det = s1x * e1x + s1y * e1y + s1z * e1z
-                    okd = jnp.abs(det) > _DET_EPS
-                    sd = jnp.where(det >= 0.0, f32(1.0), f32(-1.0))
-                    adet = det * sd
-                    sx, sy, sz = ox - v0x, oy - v0y, oz - v0z
-                    s2x = sy * e1z - sz * e1y
-                    s2y = sz * e1x - sx * e1z
-                    s2z = sx * e1y - sy * e1x
-                    tn = s2x * e2x + s2y * e2y + s2z * e2z
-                    b1n = s1x * sx + s1y * sy + s1z * sz
-                    b2n = s2x * dx + s2y * dy + s2z * dz
-                    tsd = tn * sd
-                    occluded = occluded | (
-                        okd & (tsd > t_min * adet) & (tsd <= lim * adet)
-                        & (b1n * sd >= 0.0) & (b2n * sd >= 0.0)
-                        & ((det - b1n - b2n) * sd >= 0.0))
-                return occluded.astype(f32)
-
-            def hit(occ_f):
-                if cs <= _TRI_UNROLL:
-                    return tri_test(occ_f, 0)
-                return jax.lax.fori_loop(
-                    0, cs // _TRI_UNROLL,
-                    lambda ci, oc: tri_test(oc, ci * _TRI_UNROLL), occ_f)
-
-            return jax.lax.cond(jnp.any(live), hit, lambda x: x, occ_f)
-
-        return body
-
-    occ_f = jnp.zeros(ox.shape, f32)
-    for b, (c0, c1) in enumerate(boxes):
-        bt_in, bt_out = _slab6(box_ref, b)
-        box_live = ((bt_out >= 0.0) & (bt_in <= bt_out) & (bt_in <= lim)
-                    & (occ_f < 0.5))
-
-        def run_box(occ_f, c0=c0, c1=c1):
-            get_dma(jax.lax.rem(c0, 2), c0).start()
-            return jax.lax.fori_loop(c0, c1, make_body(c1), occ_f)
-
-        occ_f = jax.lax.cond(jnp.any(box_live), run_box, lambda x: x, occ_f)
-    out_ref[0] = occ_f
+# Largest cluster table the kernels keep SMEM-resident (v5e probe: 768 KB
+# scratch compiles, 1 MB does not; /tmp smem_limit_probe r5).  736 KB keeps
+# bunny+teapot (89 clusters) resident.  Bigger tables fall back to
+# per-cluster double-buffered streaming.
+SMEM_RESIDENT_BUDGET = 736 * 1024
 
 
 @functools.partial(jax.jit,
                    static_argnames=("n_clusters", "cs", "t_min", "occl",
-                                    "boxes", "msub", "interpret"))
-def _mesh_pass(aabb, tri, rays, box_aabb=None, *, n_clusters, cs, t_min,
-               occl, boxes=None, msub=SUB, interpret=False):
-    """rays: (P, cap) — P=6 for nearest, 7 for occlusion.  Returns (5, cap)
-    [t n mid] or (1, cap) [occluded].  ``msub``: kernel tile height (the
-    per-cluster cull granularity is msub*128 lanes)."""
-    p, cap = rays.shape
-    assert cap % (msub * 128) == 0, "cap must be a whole number of tiles"
-    g = cap // (msub * 128)
-    rows = cap // 128
-    if boxes is None:
-        boxes = ((0, n_clusters),)
-    if box_aabb is None:
-        box_aabb = jnp.concatenate(
-            [jnp.min(aabb[:, 0:3], 0), jnp.max(aabb[:, 3:6], 0),
-             jnp.zeros((2,), jnp.float32)]).reshape(1, 8)
+                                    "msub", "resident", "interpret"))
+def _mesh_pass(tri, rays, cnt, *, n_clusters, cs, t_min, occl, msub=SUB,
+               resident=True, interpret=False):
+    """rays: (P, cap_rows, 128) packed planes — P=7 for nearest [o d id],
+    8 for occlusion [p wl lim id].  cnt: (1, 2) i32 from the in-kernel
+    packer.  Returns (5, cap_rows, 128) [t n mid] or (1, ...) [occluded].
+    ``msub``: kernel tile height = the tail-skip granularity."""
+    p, cap_rows, _ = rays.shape
+    assert cap_rows % msub == 0, "cap must be a whole number of tiles"
+    g = cap_rows // msub
     kern = functools.partial(
         _mesh_occl_kernel if occl else _mesh_nearest_kernel,
-        boxes=tuple(boxes), n_clusters=n_clusters, cs=cs, t_min=t_min)
+        n_clusters=n_clusters, cs=cs, t_min=t_min, msub=msub,
+        resident=resident)
     n_out = 1 if occl else 5
+    rowsc = cs * MESH_NF // 128
+    if resident:
+        scratch = [pltpu.SMEM((n_clusters, rowsc, 128), jnp.float32),
+                   pltpu.SemaphoreType.DMA(())]
+    else:
+        scratch = [pltpu.SMEM((2, rowsc, 128), jnp.float32),
+                   pltpu.SemaphoreType.DMA((2,))]
 
     def mspec(q):
         return pl.BlockSpec((q, msub, 128), lambda i: (0, i, 0),
@@ -941,37 +948,46 @@ def _mesh_pass(aabb, tri, rays, box_aabb=None, *, n_clusters, cs, t_min,
         kern,
         grid=(g,),
         in_specs=[
-            _smem_spec(box_aabb.shape),
-            _smem_spec(aabb.shape),
+            _smem_spec(cnt.shape),
             mspec(p),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=mspec(n_out),
-        out_shape=jax.ShapeDtypeStruct((n_out, rows, 128), jnp.float32),
-        scratch_shapes=[
-            pltpu.SMEM((2, cs * MESH_NF // 128, 128), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
+        out_shape=jax.ShapeDtypeStruct((n_out, cap_rows, 128), jnp.float32),
+        scratch_shapes=scratch,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
         interpret=interpret,
-    )(box_aabb, aabb, rays.reshape(p, rows, 128), tri)
-    return out.reshape(n_out, cap)
+    )(cnt, rays, tri)
+    return out
 
 
 
 
-def _k1b_kernel(seed_ref, light_ref, mat_ref, sky_ref, box_ref, pix_ref,
-                rf_ref, hf_ref, mf_ref, si_ref, out_ref, *, n_light: int,
-                n_mat: int, n_box: int, n_pix: int, t_min: float,
-                eps_offset: float, shadow_tol: float):
-    """Merge + shading-point + NEE-sample + predicate kernel (between the
-    mesh main pass and the shadow compaction).  Replaces ~4 ms of loose XLA
-    per step with ~0.1 ms of fused vector math.
+def _k1b_kernel(seed_ref, light_ref, mat_ref, sky_ref, caabb_ref, pix_ref,
+                rf_ref, hf_ref, mf_ref, si_ref, kb_out, sr_out, cnt_out,
+                off_sm, *, n_light: int, n_mat: int, n_pred: int,
+                n_pix: int, t_min: float, eps_offset: float,
+                shadow_tol: float, cap_rows: int, rp_fill: float):
+    """Merge + shading-point + NEE-sample + shadow predicate + IN-KERNEL
+    compaction of the shadow rays (between the mesh main pass and the
+    occlusion pass).
 
-    out planes: [0]=t [1:4]=n [4]=mid [5:8]=p [8:11]=wl [11]=lim
-    [12]=first-box key of the shadow segment (n_box = no box reached or
-    lane needs no shadow test — doubles as the predicate AND the sort
-    key, so the XLA glue never re-reads the shadow-ray planes)."""
+    kb_out planes (for K2): [0]=t [1:4]=n [4]=mid [5:8]=p.
+    sr_out: packed shadow rays [p(3) wl(3) lim id], appended at the
+    SMEM-carried offset exactly like K1's main-ray packer; cnt_out rows >
+    cap_rows = overflow.  The zero-weight pruning (cos_s <= 0 lanes have
+    provably zero NEE weight) keeps the r4 semantics — those lanes are
+    simply not packed."""
     f32 = jnp.float32
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        off_sm[0] = 0
+        off_sm[1] = 0
+        sr_out[7] = jnp.full((cap_rows, 128), f32(rp_fill))
+
     seed = seed_ref[0, 0]
     LGT = [[light_ref[e, k] for k in range(16)] for e in range(n_light)]
     MATE = [mat_ref[k, 6] for k in range(n_mat)]
@@ -1052,10 +1068,8 @@ def _k1b_kernel(seed_ref, light_ref, mat_ref, sky_ref, box_ref, pix_ref,
     cos_s = wlx * nx + wly * ny + wlz * nz
     alive_sh = alive_sh & (cos_s > 0.0) & (light_total > 0.0)
 
-    # First-entered spatial box of the shadow segment [~0, lim] — predicate
-    # + sort key in one plane (was XLA ``_first_box_key`` over the scatter-
-    # backed shadow planes; per-box test is tighter than the old union-AABB
-    # predicate and subsumes it, same conservative slack).
+    # Shadow predicate: does the segment [~0, lim * slack] cross ANY gated
+    # cluster AABB?  (Same conservative slack as K1's main predicate.)
     def sinv(v):
         tiny = jnp.where(v < 0.0, f32(-1e-20), f32(1e-20))
         return 1.0 / jnp.where(jnp.abs(v) < 1e-20, tiny, v)
@@ -1063,11 +1077,10 @@ def _k1b_kernel(seed_ref, light_ref, mat_ref, sky_ref, box_ref, pix_ref,
     ivx, ivy, ivz = sinv(wlx), sinv(wly), sinv(wlz)
     hi_bound = lim * 1.000001 + 1e-5
     t_lo = jnp.minimum(f32(t_min), 0.0)
-    best_in = jnp.full(lim.shape, jnp.inf, f32)
-    key = jnp.full(lim.shape, f32(n_box))
-    for b in range(n_box):
-        bx0, by0, bz0 = box_ref[b, 0], box_ref[b, 1], box_ref[b, 2]
-        bx1, by1, bz1 = box_ref[b, 3], box_ref[b, 4], box_ref[b, 5]
+    crossed = jnp.zeros(lim.shape, jnp.bool_)
+    for b in range(n_pred):
+        bx0, by0, bz0 = caabb_ref[b, 0], caabb_ref[b, 1], caabb_ref[b, 2]
+        bx1, by1, bz1 = caabb_ref[b, 3], caabb_ref[b, 4], caabb_ref[b, 5]
         tx0 = (bx0 - px) * ivx
         tx1 = (bx1 - px) * ivx
         ty0 = (by0 - py) * ivy
@@ -1080,25 +1093,40 @@ def _k1b_kernel(seed_ref, light_ref, mat_ref, sky_ref, box_ref, pix_ref,
         t_out = jnp.minimum(jnp.minimum(jnp.maximum(tx0, tx1),
                                         jnp.maximum(ty0, ty1)),
                             jnp.maximum(tz0, tz1))
-        better = ((t_out >= t_lo) & (t_in <= t_out) & (t_in <= hi_bound)
-                  & (t_in < best_in))
-        best_in = jnp.where(better, t_in, best_in)
-        key = jnp.where(better, f32(b), key)
-    key = jnp.where(alive_sh, key, f32(n_box))
+        crossed = crossed | ((t_out >= t_lo) & (t_in <= t_out)
+                             & (t_in <= hi_bound))
+    pred_sh = alive_sh & crossed
 
-    out_ref[0] = t
-    out_ref[1] = nx
-    out_ref[2] = ny
-    out_ref[3] = nz
-    out_ref[4] = mid
-    out_ref[5] = px
-    out_ref[6] = py
-    out_ref[7] = pz
-    out_ref[8] = wlx
-    out_ref[9] = wly
-    out_ref[10] = wlz
-    out_ref[11] = lim
-    out_ref[12] = key
+    si_ = jax.lax.broadcasted_iota(jnp.int32, lim.shape, 0)
+    li_ = jax.lax.broadcasted_iota(jnp.int32, lim.shape, 1)
+    gid = ((i * SUB + si_) * 128 + li_).astype(f32)
+    packed, count = compact_ops.funnel_pack(
+        [px, py, pz, wlx, wly, wlz, lim, gid], pred_sh.astype(jnp.int32))
+    flat = si_ * 128 + li_
+    packed[7] = jnp.where(flat < count, packed[7], f32(rp_fill))
+    off = off_sm[0]
+
+    @pl.when(off + SUB <= cap_rows)
+    def _():
+        for j in range(8):
+            sr_out[j, pl.ds(off, SUB), :] = packed[j]
+
+    off_sm[0] = off + (count + 127) // 128
+    off_sm[1] = off_sm[1] + count
+
+    @pl.when(i == pl.num_programs(0) - 1)
+    def _():
+        cnt_out[0, 0] = off_sm[0]
+        cnt_out[0, 1] = off_sm[1]
+
+    kb_out[0] = t
+    kb_out[1] = nx
+    kb_out[2] = ny
+    kb_out[3] = nz
+    kb_out[4] = mid
+    kb_out[5] = px
+    kb_out[6] = py
+    kb_out[7] = pz
 
 
 # --------------------------------------------------------------------------
@@ -1113,19 +1141,6 @@ def _plane_spec(p):
 def _smem_spec(shape):
     return pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape),
                         memory_space=pltpu.SMEM)
-
-
-def _compact_indices(pred, cap: int, n: int):
-    """First-``cap`` lane indices where ``pred`` (sorted), padded with ``n``
-    (out of range -> gathers are clamped, scatters dropped).  Also returns
-    the overflow count (population beyond ``cap``)."""
-    k = pred.astype(jnp.int32)
-    csum = jnp.cumsum(k)
-    count = csum[-1]
-    pos = jnp.where(pred, csum - 1, cap)
-    idx = jnp.full((cap,), n, jnp.int32).at[pos].set(
-        jnp.arange(n, dtype=jnp.int32), mode="drop")
-    return idx, jnp.maximum(count - cap, 0)
 
 
 def _slab_crosses(o, d, lo, hi, t_lo, t_hi):
@@ -1148,23 +1163,26 @@ def _slab_crosses(o, d, lo, hi, t_lo, t_hi):
         "n_stri", "n_sph", "n_light", "n_mat", "n_steps", "width", "height",
         "n_pix", "t_min", "eps_offset", "rr_survival", "shadow_tol",
         "max_depth", "cap_main", "cap_shadow", "cs", "n_clusters",
-        "boxes", "sort_boxes", "msub", "interpret"))
-def _run_steps(stri, ssph, mat, light, sky, smc_tri, smc_aabb, smc_box,
-               gate_lo, gate_hi, seed, cam16, pix_planes, pxy_planes, sf,
-               si, *, n_stri, n_sph, n_light, n_mat, n_steps, width, height,
-               n_pix, t_min, eps_offset, rr_survival, shadow_tol, max_depth,
-               cap_main, cap_shadow, cs, n_clusters, boxes, sort_boxes,
-               msub, interpret):
-    n_box = len(boxes)
+        "n_pred", "msub", "resident", "interpret"))
+def _run_steps(stri, ssph, mat, light, sky, smc_tri, pred_aabb, seed,
+               cam16, pix_planes, pxy_planes, sf, si, *, n_stri, n_sph,
+               n_light, n_mat, n_steps, width, height, n_pix, t_min,
+               eps_offset, rr_survival, shadow_tol, max_depth, cap_main,
+               cap_shadow, cs, n_clusters, n_pred, msub, resident,
+               interpret):
     rp = sf.shape[1] * 128
     g = sf.shape[1] // SUB
+    capm_rows = cap_main // 128
+    caps_rows = cap_shadow // 128
+    seq = pltpu.CompilerParams(dimension_semantics=("arbitrary",))
 
     k1 = functools.partial(_k1_kernel, n_stri=n_stri, n_sph=n_sph,
-                           n_box=n_box, t_min=t_min)
+                           n_pred=n_pred, n_pix=n_pix, t_min=t_min,
+                           cap_rows=capm_rows, rp_fill=float(rp))
     k1b = functools.partial(
-        _k1b_kernel, n_light=n_light, n_mat=n_mat, n_box=n_box,
+        _k1b_kernel, n_light=n_light, n_mat=n_mat, n_pred=n_pred,
         n_pix=n_pix, t_min=t_min, eps_offset=eps_offset,
-        shadow_tol=shadow_tol)
+        shadow_tol=shadow_tol, cap_rows=caps_rows, rp_fill=float(rp))
     k2 = functools.partial(
         _k2_kernel, n_stri=n_stri, n_sph=n_sph, n_light=n_light,
         n_mat=n_mat, width=width, height=height, n_pix=n_pix, t_min=t_min,
@@ -1177,97 +1195,76 @@ def _run_steps(stri, ssph, mat, light, sky, smc_tri, smc_aabb, smc_box,
     def planes(p2):        # (P, rp) -> (P, rows, 128)
         return p2.reshape(p2.shape[0], rp // 128, 128)
 
+    def buf_spec(q, rows):     # packed buffer: revisited every grid step
+        return pl.BlockSpec((q, rows, 128), lambda i: (0, 0, 0),
+                            memory_space=pltpu.VMEM)
+
     def step(carry, _):
         sf, si, overflow, npred = carry
-        o = flat(sf[0:3])                                   # (3, rp)
-        d = flat(sf[3:6])
-        pixu = flat(pix_planes)[0]
-        valid = pixu < jnp.uint32(n_pix)
 
-        # K1: smalls intersect + in-kernel first-box key (plane 5).
-        hf = pl.pallas_call(
+        # K1: smalls intersect + mesh predicate + in-kernel pack of the
+        # crossing lanes' (o, d, id) planes.  The whole r4 XLA compaction
+        # (cumsum/scatter/sort/gather, ~5.5 ms/step measured) is gone.
+        hf, mr, cnt1 = pl.pallas_call(
             k1, grid=(g,),
             in_specs=[_smem_spec(stri.shape), _smem_spec(ssph.shape),
-                      _smem_spec(smc_box.shape), _plane_spec(6)],
-            out_specs=_plane_spec(6),
-            out_shape=jax.ShapeDtypeStruct((6, rp // 128, 128), jnp.float32),
+                      _smem_spec(pred_aabb.shape), _plane_spec(1),
+                      _plane_spec(6)],
+            out_specs=[_plane_spec(5), buf_spec(7, capm_rows),
+                       _smem_spec((1, 2))],
+            out_shape=[
+                jax.ShapeDtypeStruct((5, rp // 128, 128), jnp.float32),
+                jax.ShapeDtypeStruct((7, capm_rows, 128), jnp.float32),
+                jax.ShapeDtypeStruct((1, 2), jnp.int32),
+            ],
+            scratch_shapes=[pltpu.SMEM((2,), jnp.int32)],
+            compiler_params=seq,
             interpret=interpret,
-        )(stri, ssph, smc_box, sf[0:6])
+        )(stri, ssph, pred_aabb, pix_planes, sf[0:6])
 
-        # Mesh main pass: compact lanes whose segment enters SOME spatial
-        # box before the smalls winner (tighter than the union AABB),
-        # sorted by first-entered box so kernel tiles can skip whole boxes,
-        # intersect via the SMEM cluster kernel, scatter the winners back.
-        key_m = flat(hf)[5]
-        pred = valid & (key_m < n_box)
-        idx, of1 = _compact_indices(pred, cap_main, rp)
-        if sort_boxes:
-            ks = jnp.where(idx < rp, key_m[jnp.clip(idx, 0, rp - 1)],
-                           n_box + 1)
-            _, idx = jax.lax.sort_key_val(ks, idx)
-        gi = jnp.clip(idx, 0, rp - 1)
-        # Padded slots get a guaranteed-miss ray (origin beyond the gated
-        # AABB, pointing away): whole padding tiles then skip every cluster.
-        live_m = (idx < rp)[None]
-        far = jnp.asarray(gate_hi, jnp.float32) + 1.0
-        ro = jnp.where(live_m, o[:, gi], far[:, None])       # (3, cap)
-        rd = jnp.where(live_m, d[:, gi],
-                       jnp.asarray([0.0, 0.0, 1.0],
-                                   jnp.float32)[:, None])
-        vals = _mesh_pass(smc_aabb, smc_tri,
-                          jnp.concatenate([ro, rd], 0), smc_box,
-                          n_clusters=n_clusters, cs=cs, t_min=t_min,
-                          occl=False, boxes=boxes, msub=msub,
-                          interpret=interpret)               # (5, cap)
+        # Mesh main pass over the packed buffer; scatter winners back via
+        # the packed id plane (rp_fill ids drop).
+        mvals = _mesh_pass(smc_tri, mr, cnt1, n_clusters=n_clusters,
+                           cs=cs, t_min=t_min, occl=False, msub=msub,
+                           resident=resident, interpret=interpret)
+        ids = mr[6].reshape(-1).astype(jnp.int32)
         mesh = jnp.full((5, rp), np.float32(NO_HIT))
         mesh = mesh.at[1:5, :].set(0.0)
-        mesh = mesh.at[:, idx].set(vals, mode="drop")
+        mesh = mesh.at[:, ids].set(mvals.reshape(5, -1), mode="drop")
 
         # K1b: merge + facing normal + shading point + NEE light sample +
-        # shadow predicate, fused (replaces ~4 ms of loose XLA per step).
-        k1b_out = pl.pallas_call(
+        # shadow predicate + in-kernel pack of the shadow rays.
+        kb, sr, cnt2 = pl.pallas_call(
             k1b, grid=(g,),
             in_specs=[
                 _smem_spec((1, 1)), _smem_spec(light.shape),
                 _smem_spec(mat.shape), _smem_spec((1, 8)),
-                _smem_spec(smc_box.shape),
-                _plane_spec(1), _plane_spec(6), _plane_spec(6),
+                _smem_spec(pred_aabb.shape),
+                _plane_spec(1), _plane_spec(6), _plane_spec(5),
                 _plane_spec(5), _plane_spec(2),
             ],
-            out_specs=_plane_spec(13),
-            out_shape=jax.ShapeDtypeStruct((13, rp // 128, 128),
-                                           jnp.float32),
+            out_specs=[_plane_spec(8), buf_spec(8, caps_rows),
+                       _smem_spec((1, 2))],
+            out_shape=[
+                jax.ShapeDtypeStruct((8, rp // 128, 128), jnp.float32),
+                jax.ShapeDtypeStruct((8, caps_rows, 128), jnp.float32),
+                jax.ShapeDtypeStruct((1, 2), jnp.int32),
+            ],
+            scratch_shapes=[pltpu.SMEM((2,), jnp.int32)],
+            compiler_params=seq,
             interpret=interpret,
-        )(seed, light, mat, sky.reshape(1, 8), smc_box, pix_planes,
+        )(seed, light, mat, sky.reshape(1, 8), pred_aabb, pix_planes,
           sf[0:6], hf, planes(mesh), si[0:2])
-        kb = flat(k1b_out)
 
-        # Shadow pass: compact on K1b's in-kernel first-box key (plane 12:
-        # n_box = no shadow test needed), sort by it, SMEM occlusion
-        # kernel, scatter the flag.
-        key_s = kb[12]
-        pred_sh = key_s < n_box
-        idx2, of2 = _compact_indices(pred_sh, cap_shadow, rp)
-        if sort_boxes:
-            ks2 = jnp.where(idx2 < rp, key_s[jnp.clip(idx2, 0, rp - 1)],
-                            n_box + 1)
-            _, idx2 = jax.lax.sort_key_val(ks2, idx2)
-        gi2 = jnp.clip(idx2, 0, rp - 1)
-        live_s = (idx2 < rp)[None]
-        po = jnp.where(live_s, kb[5:8][:, gi2], far[:, None])
-        pw = jnp.where(live_s, kb[8:11][:, gi2],
-                       jnp.asarray([0.0, 0.0, 1.0],
-                                   jnp.float32)[:, None])
-        lim = jnp.where(live_s[0], kb[11][gi2], -1.0)
-        occ_sub = _mesh_pass(smc_aabb, smc_tri,
-                             jnp.concatenate([po, pw, lim[None]], 0),
-                             smc_box, n_clusters=n_clusters, cs=cs,
-                             t_min=t_min, occl=True, boxes=boxes, msub=msub,
-                             interpret=interpret)
-        occ = jnp.zeros((1, rp), jnp.float32).at[:, idx2].set(
-            occ_sub, mode="drop")
+        # Shadow occlusion pass over the packed buffer; scatter the flag.
+        occ_sub = _mesh_pass(smc_tri, sr, cnt2, n_clusters=n_clusters,
+                             cs=cs, t_min=t_min, occl=True, msub=msub,
+                             resident=resident, interpret=interpret)
+        ids2 = sr[7].reshape(-1).astype(jnp.int32)
+        occ = jnp.zeros((1, rp), jnp.float32).at[:, ids2].set(
+            occ_sub.reshape(1, -1), mode="drop")
 
-        hf2 = planes(jnp.concatenate([kb[0:8], flat(sf[3:6])], 0))
+        hf2 = planes(jnp.concatenate([flat(kb), flat(sf[3:6])], 0))
 
         sf2, si2 = pl.pallas_call(
             k2, grid=(g,),
@@ -1291,9 +1288,11 @@ def _run_steps(stri, ssph, mat, light, sky, smc_tri, smc_aabb, smc_box,
         nsh = jnp.sum(flat(si2)[3])
         si3 = jnp.concatenate([si2[0:3], si[3:4]], 0)
         si3 = si3.at[3, 0, 0].add(nsh)        # shadow-ray tally
-        npred = npred + jnp.stack([jnp.sum(pred.astype(jnp.int32)),
-                                   jnp.sum(pred_sh.astype(jnp.int32))])
-        return (sf2, si3, overflow + of1 + of2, npred), None
+        overflow = (overflow
+                    + jnp.maximum(cnt1[0, 0] - capm_rows, 0)
+                    + jnp.maximum(cnt2[0, 0] - caps_rows, 0))
+        npred = npred + jnp.stack([cnt1[0, 1], cnt2[0, 1]])
+        return (sf2, si3, overflow, npred), None
 
     (sf, si, overflow, npred), _ = jax.lax.scan(
         step, (sf, si, jnp.int32(0), jnp.zeros((2,), jnp.int32)), None,
@@ -1307,7 +1306,7 @@ def wavefront_steps_fused_mesh(mp: MeshPack, camera, cfg: RenderConfig, key,
                                cap_shadow: int | None = None,
                                pixel_offset: int = 0,
                                msub: int = SUB,
-                               sort_boxes: bool = True,
+                               resident: bool | None = None,
                                interpret: bool | None = None):
     """Drop-in fused-mesh equivalent of ``monte_carlo.wavefront_steps``
     driven through ``models.mesh.make_intersect_fn`` — returns the advanced
@@ -1320,7 +1319,8 @@ def wavefront_steps_fused_mesh(mp: MeshPack, camera, cfg: RenderConfig, key,
     (the RNG hashes absolute pixel ids and every mesh decision is lane-
     local), so slab states compose bit-exactly: the property the sharded
     stepper (``parallel.shard.wavefront_steps_fused_mesh_sharded``) builds
-    on.  Forward-only; ``interpret`` defaults to True off-TPU."""
+    on.  ``resident``: keep the whole cluster table in SMEM (default: auto
+    by size).  Forward-only; ``interpret`` defaults to True off-TPU."""
     from cpu_based_ray_tracer_tpu.models import monte_carlo as mc
 
     if cfg.soft_shadow_beta > 0.0:
@@ -1332,6 +1332,8 @@ def wavefront_steps_fused_mesh(mp: MeshPack, camera, cfg: RenderConfig, key,
     n_pix = cfg.height * cfg.width
     r = state.s.shape[0]
     rp = -(-r // LANES_PER_TILE) * LANES_PER_TILE
+    # Lane ids ride an f32 plane through the in-kernel packer.
+    assert rp <= 1 << 24, "wavefront beyond 16.7M lanes: chunk the image"
     # Compact buffers are processed in (SUB, 128)-lane kernel tiles.
     if cap_main is None:
         cap_main = max(LANES_PER_TILE, rp // 4)
@@ -1340,6 +1342,12 @@ def wavefront_steps_fused_mesh(mp: MeshPack, camera, cfg: RenderConfig, key,
     mesh_tile = max(int(msub) * 128, LANES_PER_TILE)
     cap_main = -(-int(cap_main) // mesh_tile) * mesh_tile
     cap_shadow = -(-int(cap_shadow) // mesh_tile) * mesh_tile
+    n_cl = mp.smc_aabb.shape[0]
+    if resident is None:
+        resident = n_cl * mp.cs * MESH_NF * 4 <= SMEM_RESIDENT_BUDGET
+    # Predicate AABBs: the per-cluster boxes when the unrolled slab loop
+    # stays small, else the coarser spatial-box partition.
+    pred_aabb = mp.smc_aabb if n_cl <= 64 else mp.smc_box_aabb
     seed = rng_mod.seed_from_key(key)[None, None].astype(jnp.uint32)
     cam16 = _camera_words(camera)[None, :]
 
@@ -1364,9 +1372,8 @@ def wavefront_steps_fused_mesh(mp: MeshPack, camera, cfg: RenderConfig, key,
     si = si.reshape(4, rp // 128, 128)
 
     sf2, si2, overflow, npred = _run_steps(
-        mp.stri, mp.ssph, mp.mat, mp.light, mp.sky, mp.smc_tri, mp.smc_aabb,
-        mp.smc_box_aabb, mp.gate_lo, mp.gate_hi, seed, cam16, pix_planes,
-        pxy_planes, sf, si,
+        mp.stri, mp.ssph, mp.mat, mp.light, mp.sky, mp.smc_tri, pred_aabb,
+        seed, cam16, pix_planes, pxy_planes, sf, si,
         n_stri=mp.n_stri, n_sph=mp.n_sph, n_light=mp.n_light,
         n_mat=mp.n_mat, n_steps=int(n_steps), width=cfg.width,
         height=cfg.height, n_pix=n_pix, t_min=float(cfg.t_min),
@@ -1375,9 +1382,8 @@ def wavefront_steps_fused_mesh(mp: MeshPack, camera, cfg: RenderConfig, key,
         shadow_tol=float(cfg.shadow_tolerance),
         max_depth=int(cfg.max_depth), cap_main=int(cap_main),
         cap_shadow=int(cap_shadow), cs=mp.cs,
-        n_clusters=mp.smc_aabb.shape[0], boxes=tuple(mp.boxes),
-        sort_boxes=bool(sort_boxes), msub=int(msub),
-        interpret=bool(interpret))
+        n_clusters=n_cl, n_pred=pred_aabb.shape[0], msub=int(msub),
+        resident=bool(resident), interpret=bool(interpret))
 
     sf2 = sf2.reshape(15, rp)[:, :r]
     si2 = si2.reshape(4, rp)

@@ -24,7 +24,9 @@ def main():
     ap.add_argument("--cap-main", type=int, default=0)
     ap.add_argument("--cap-shadow", type=int, default=0)
     ap.add_argument("--msub", type=int, default=0)
-    ap.add_argument("--no-sort", action="store_true")
+    ap.add_argument("--stream", action="store_true",
+                    help="force per-cluster DMA streaming (no SMEM "
+                         "residency)")
     ap.add_argument("--reps", type=int, default=4)
     args = ap.parse_args()
 
@@ -45,8 +47,8 @@ def main():
           "cap_shadow": args.cap_shadow or rp // 12}
     if args.msub:
         kw["msub"] = args.msub
-    if args.no_sort:
-        kw["sort_boxes"] = False
+    if args.stream:
+        kw["resident"] = False
 
     # warm up / compile
     t0 = time.perf_counter()
