@@ -65,6 +65,58 @@ def tile_prefix_pos(pred_i32):
     return inc - pred_i32 + (off - row_tot)                 # exclusive flat
 
 
+def funnel_unpack(planes, target_i32, valid_i32):
+    """Inverse of ``funnel_pack``: move the first elements of each (S, 128)
+    plane (flattened order, positions where ``valid``) RIGHT to their
+    per-element ``target`` lane (0 <= target < S*128, strictly increasing
+    over the valid elements — e.g. the packed global-lane ids minus the
+    tile base).
+
+    Returns (unpacked_planes, landed_i32) where ``landed`` marks lanes that
+    received an element; all other lanes hold garbage.  Same
+    compaction-by-binary-shifts argument as the pack (d = target - position
+    is nondecreasing over the valid elements), mirrored."""
+    sub = target_i32.shape[0]
+    lanes = sub * 128
+    si = jax.lax.broadcasted_iota(jnp.int32, target_i32.shape, 0)
+    li = jax.lax.broadcasted_iota(jnp.int32, target_i32.shape, 1)
+    flat = si * 128 + li
+    live = valid_i32
+    rem = jnp.where(valid_i32 != 0, target_i32 - flat, 0)
+    out = list(planes)
+    # MSB -> LSB: moving RIGHT with nondecreasing distances, the big moves
+    # must clear space ahead first (the LSB-first order of the left-pack
+    # would collide: el at 1 staying while el at 0 moves onto it).
+    for k in reversed(range((lanes - 1).bit_length())):
+        r = 1 << k
+        in_live = _flat_shift_right(live, r)
+        in_rem = _flat_shift_right(rem, r)
+        take = ((in_live != 0) & ((in_rem & r) != 0)
+                & (flat - r >= 0))              # mask the circular head
+        stay = (live != 0) & ((rem & r) == 0)
+        rem = jnp.where(take, in_rem - r, rem)
+        for j in range(len(out)):
+            out[j] = jnp.where(take, _flat_shift_right(out[j], r), out[j])
+        live = (take | stay).astype(jnp.int32)
+    return out, live
+
+
+def _flat_shift_right(x, r: int):
+    """y[i] = x[i - r] of the row-major flattened (S, 128) plane (r static).
+    The leading r lanes receive circular garbage — mask at the call site."""
+    if r == 0:
+        return x
+    row, lane = divmod(r, 128)
+    sub = x.shape[0]
+    a = pltpu.roll(x, row % sub, 0) if row else x
+    if lane == 0:
+        return a
+    hi = pltpu.roll(a, lane, 1)                      # lanes >= lane
+    lo = pltpu.roll(pltpu.roll(a, 1, 0), lane, 1)    # lanes < lane
+    li = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    return jnp.where(li >= lane, hi, lo)
+
+
 def funnel_pack(planes, pred_i32):
     """Pack the lanes where pred to the flattened front of each (S, 128)
     plane.  Returns (packed_planes, count); lanes >= count hold garbage

@@ -216,11 +216,29 @@ def pack_mesh_scene(scene: Scene, gate_mask: Optional[np.ndarray] = None,
 # --------------------------------------------------------------------------
 
 def _k1_kernel(stri_ref, ssph_ref, caabb_ref, pix_ref, rf_ref, hf_out,
-               mr_out, cnt_out, off_sm, *, n_stri: int, n_sph: int,
-               n_pred: int, n_pix: int, t_min: float, cap_rows: int,
-               rp_fill: float):
+               mr_out, cnt_out, offs_out, off_sm, *, n_stri: int,
+               n_sph: int, n_pred: int, n_pix: int, t_min: float,
+               cap_rows: int, rp_fill: float):
+    ox, oy, oz = rf_ref[0], rf_ref[1], rf_ref[2]
+    dx, dy, dz = rf_ref[3], rf_ref[4], rf_ref[5]
+    valid = pix_ref[0] < jnp.uint32(n_pix)
+    _k1_body(stri_ref, ssph_ref, caabb_ref, valid, ox, oy, oz, dx, dy, dz,
+             hf_out, mr_out, cnt_out, offs_out, off_sm, n_stri=n_stri,
+             n_sph=n_sph, n_pred=n_pred, t_min=t_min, cap_rows=cap_rows,
+             rp_fill=rp_fill)
+
+
+def _k1_body(stri_ref, ssph_ref, caabb_ref, valid, ox, oy, oz, dx, dy, dz,
+             hf_out, mr_out, cnt_out, offs_out, off_sm, *, n_stri: int,
+             n_sph: int, n_pred: int, t_min: float, cap_rows: int,
+             rp_fill: float):
+    """The K1 work on in-register rays — shared by the standalone K1 (the
+    first step of a call) and the fused K2+K1 kernel (every later step:
+    the regenerated rays never round-trip HBM between shade and
+    intersect)."""
     f32 = jnp.float32
     i = pl.program_id(0)
+    alloc_rows = mr_out.shape[1]
 
     @pl.when(i == 0)
     def _():
@@ -228,13 +246,11 @@ def _k1_kernel(stri_ref, ssph_ref, caabb_ref, pix_ref, rf_ref, hf_out,
         off_sm[1] = 0
         # pre-fill the id plane so rows never reached by an append (the
         # tail beyond the final offset, or everything after an overflow
-        # skip) scatter as drops, not as stale lane ids
-        mr_out[6] = jnp.full((cap_rows, 128), f32(rp_fill))
+        # skip) read as out-of-tile ids, never as stale lane ids
+        mr_out[6] = jnp.full((alloc_rows, 128), f32(rp_fill))
 
     TRI = [[stri_ref[n, k] for k in range(13)] for n in range(n_stri)]
     SPH = [[ssph_ref[m, k] for k in range(5)] for m in range(n_sph)]
-    ox, oy, oz = rf_ref[0], rf_ref[1], rf_ref[2]
-    dx, dy, dz = rf_ref[3], rf_ref[4], rf_ref[5]
 
     best_t = jnp.full(ox.shape, f32(NO_HIT))
     bnx = jnp.zeros_like(ox)
@@ -319,7 +335,6 @@ def _k1_kernel(stri_ref, ssph_ref, caabb_ref, pix_ref, rf_ref, hf_out,
         crossed = crossed | ((t_out >= t_lo) & (t_in <= t_out)
                              & (t_in <= hi_bound))
 
-    valid = pix_ref[0] < jnp.uint32(n_pix)
     pred = crossed & valid
 
     si_ = jax.lax.broadcasted_iota(jnp.int32, ox.shape, 0)
@@ -336,6 +351,11 @@ def _k1_kernel(stri_ref, ssph_ref, caabb_ref, pix_ref, rf_ref, hf_out,
         for j in range(7):
             mr_out[j, pl.ds(off, SUB), :] = packed[j]
 
+    # per-tile (start row, lane count): the consumer kernel DMAs EXACTLY
+    # this tile's packed slice back and funnel-unpacks it in place of the
+    # r4 XLA scatter (measured 6.6 ms for 5 planes at rp/8)
+    offs_out[i, 0] = jnp.minimum(off, cap_rows)
+    offs_out[i, 1] = jnp.where(off + SUB <= cap_rows, count, 0)
     off_sm[0] = off + (count + 127) // 128
     off_sm[1] = off_sm[1] + count
 
@@ -358,12 +378,23 @@ def _k1_kernel(stri_ref, ssph_ref, caabb_ref, pix_ref, rf_ref, hf_out,
 # --------------------------------------------------------------------------
 
 def _k2_kernel(seed_ref, cam_ref, stri_ref, ssph_ref, mat_ref, light_ref,
-               sky_ref, pix_ref, pxy_ref, hf_ref, mo_ref, sf_ref, si_ref,
-               sf_out, si_out, *, n_stri: int, n_sph: int, n_light: int,
+               sky_ref, offs2_ref, pix_ref, pxy_ref, hf_ref, sf_ref,
+               si_ref, sr_hbm, occ_hbm, sf_out, si_out, ids_scr, occ_scr,
+               dsem, *, n_stri: int, n_sph: int, n_light: int,
                n_mat: int, width: int, height: int, n_pix: int, t_min: float,
                eps_offset: float, rr_survival: float, shadow_tol: float,
                max_depth: int):
     f32 = jnp.float32
+    i = pl.program_id(0)
+    # this tile's packed shadow ids + occlusion flags (see _k1b_kernel)
+    start = offs2_ref[i, 0]
+    k_cnt = offs2_ref[i, 1]
+    d_ids = pltpu.make_async_copy(sr_hbm.at[7, pl.ds(start, SUB), :],
+                                  ids_scr, dsem.at[0])
+    d_occ = pltpu.make_async_copy(occ_hbm.at[0, pl.ds(start, SUB), :],
+                                  occ_scr, dsem.at[1])
+    d_ids.start()
+    d_occ.start()
     seed = seed_ref[0, 0]
     TRI = [[stri_ref[n, k] for k in range(9)] for n in range(n_stri)]
     SPH = [[ssph_ref[m, k] for k in range(4)] for m in range(n_sph)]
@@ -393,7 +424,15 @@ def _k2_kernel(seed_ref, cam_ref, stri_ref, ssph_ref, mat_ref, light_ref,
     midp = hf_ref[4]
     hx, hy, hz = hf_ref[5], hf_ref[6], hf_ref[7]
     dx, dy, dz = hf_ref[8], hf_ref[9], hf_ref[10]
-    occ_mesh = mo_ref[0] > 0.5
+    d_ids.wait()
+    d_occ.wait()
+    si2_ = jax.lax.broadcasted_iota(jnp.int32, t_hit.shape, 0)
+    li2_ = jax.lax.broadcasted_iota(jnp.int32, t_hit.shape, 1)
+    tgt2 = ids_scr[:, :].astype(jnp.int32) - i * SUB * 128
+    un2, landed2 = compact_ops.funnel_unpack(
+        [occ_scr[:, :]], tgt2,
+        (si2_ * 128 + li2_ < k_cnt).astype(jnp.int32))
+    occ_mesh = (landed2 != 0) & (un2[0] > 0.5)
 
     s = si_ref[0]
     bb = si_ref[1]
@@ -603,6 +642,14 @@ def _k2_kernel(seed_ref, cam_ref, stri_ref, ssph_ref, mat_ref, light_ref,
     for k, v in enumerate((ox2, oy2, oz2, dx2, dy2, dz2, tpx, tpy, tpz,
                            cux, cuy, cuz, axp, ayp, azp)):
         sf_out[k] = v
+
+
+# NOTE (r5, measured): fusing K2 with the next step's K1 into one kernel
+# (shade/regenerate, then intersect the regenerated rays straight out of
+# the just-written sf_out VMEM block) compiled and passed parity but ran
+# the step at 53 ms vs 15 ms — the large constant-index_map packed-buffer
+# output appears to serialize the fused kernel's block pipeline.  Kept as
+# a negative result; the standalone K1/K2 split is the production shape.
 
 
 # --------------------------------------------------------------------------
@@ -964,14 +1011,22 @@ def _mesh_pass(tri, rays, cnt, *, n_clusters, cs, t_min, occl, msub=SUB,
 
 
 
-def _k1b_kernel(seed_ref, light_ref, mat_ref, sky_ref, caabb_ref, pix_ref,
-                rf_ref, hf_ref, mf_ref, si_ref, kb_out, sr_out, cnt_out,
-                off_sm, *, n_light: int, n_mat: int, n_pred: int,
+def _k1b_kernel(seed_ref, light_ref, mat_ref, sky_ref, caabb_ref, offs1_ref,
+                pix_ref, rf_ref, hf_ref, si_ref, mr_hbm, mvals_hbm, kb_out,
+                sr_out, cnt_out, offs_out, off_sm, ids_scr, mv_scr, dsem, *,
+                n_light: int, n_mat: int, n_pred: int,
                 n_pix: int, t_min: float, eps_offset: float,
                 shadow_tol: float, cap_rows: int, rp_fill: float):
     """Merge + shading-point + NEE-sample + shadow predicate + IN-KERNEL
     compaction of the shadow rays (between the mesh main pass and the
     occlusion pass).
+
+    The mesh winners arrive NOT as scattered full planes (the r4 XLA
+    scatter measured 6.6 ms/step for 5 planes at rp/8) but as the packed
+    buffers themselves: compaction preserves lane order, so this tile's
+    packed slice is the contiguous 128-row-aligned range starting at
+    ``offs1_ref[i]`` — DMA'd back and funnel-UNpacked in-kernel
+    (ops.compact.funnel_unpack, the pack's exact inverse).
 
     kb_out planes (for K2): [0]=t [1:4]=n [4]=mid [5:8]=p.
     sr_out: packed shadow rays [p(3) wl(3) lim id], appended at the
@@ -986,7 +1041,17 @@ def _k1b_kernel(seed_ref, light_ref, mat_ref, sky_ref, caabb_ref, pix_ref,
     def _():
         off_sm[0] = 0
         off_sm[1] = 0
-        sr_out[7] = jnp.full((cap_rows, 128), f32(rp_fill))
+        sr_out[7] = jnp.full((sr_out.shape[1], 128), f32(rp_fill))
+
+    # start this tile's packed-slice DMAs right away (ids + mesh winners)
+    start = offs1_ref[i, 0]
+    k_cnt = offs1_ref[i, 1]
+    d_ids = pltpu.make_async_copy(mr_hbm.at[6, pl.ds(start, SUB), :],
+                                  ids_scr, dsem.at[0])
+    d_mv = pltpu.make_async_copy(mvals_hbm.at[:, pl.ds(start, SUB), :],
+                                 mv_scr, dsem.at[1])
+    d_ids.start()
+    d_mv.start()
 
     seed = seed_ref[0, 0]
     LGT = [[light_ref[e, k] for k in range(16)] for e in range(n_light)]
@@ -999,10 +1064,25 @@ def _k1b_kernel(seed_ref, light_ref, mat_ref, sky_ref, caabb_ref, pix_ref,
     dx, dy, dz = rf_ref[3], rf_ref[4], rf_ref[5]
     ts, snx, sny, snz, smid = (hf_ref[0], hf_ref[1], hf_ref[2], hf_ref[3],
                                hf_ref[4])
-    tm, mnx, mny, mnz, mmid = (mf_ref[0], mf_ref[1], mf_ref[2], mf_ref[3],
-                               mf_ref[4])
     s = si_ref[0]
     bb = si_ref[1]
+
+    # unpack this tile's mesh winners from the packed buffers
+    d_ids.wait()
+    d_mv.wait()
+    si_ = jax.lax.broadcasted_iota(jnp.int32, ts.shape, 0)
+    li_ = jax.lax.broadcasted_iota(jnp.int32, ts.shape, 1)
+    flat = si_ * 128 + li_
+    tgt = ids_scr[:, :].astype(jnp.int32) - i * SUB * 128
+    un, landed = compact_ops.funnel_unpack(
+        [mv_scr[j] for j in range(5)], tgt,
+        (flat < k_cnt).astype(jnp.int32))
+    has = landed != 0
+    tm = jnp.where(has, un[0], f32(NO_HIT))
+    mnx = jnp.where(has, un[1], 0.0)
+    mny = jnp.where(has, un[2], 0.0)
+    mnz = jnp.where(has, un[3], 0.0)
+    mmid = jnp.where(has, un[4], f32(-1.0))
 
     is_mesh = tm < ts
     t = jnp.where(is_mesh, tm, ts)
@@ -1102,7 +1182,6 @@ def _k1b_kernel(seed_ref, light_ref, mat_ref, sky_ref, caabb_ref, pix_ref,
     gid = ((i * SUB + si_) * 128 + li_).astype(f32)
     packed, count = compact_ops.funnel_pack(
         [px, py, pz, wlx, wly, wlz, lim, gid], pred_sh.astype(jnp.int32))
-    flat = si_ * 128 + li_
     packed[7] = jnp.where(flat < count, packed[7], f32(rp_fill))
     off = off_sm[0]
 
@@ -1111,6 +1190,8 @@ def _k1b_kernel(seed_ref, light_ref, mat_ref, sky_ref, caabb_ref, pix_ref,
         for j in range(8):
             sr_out[j, pl.ds(off, SUB), :] = packed[j]
 
+    offs_out[i, 0] = jnp.minimum(off, cap_rows)
+    offs_out[i, 1] = jnp.where(off + SUB <= cap_rows, count, 0)
     off_sm[0] = off + (count + 127) // 128
     off_sm[1] = off_sm[1] + count
 
@@ -1205,64 +1286,72 @@ def _run_steps(stri, ssph, mat, light, sky, smc_tri, pred_aabb, seed,
         # K1: smalls intersect + mesh predicate + in-kernel pack of the
         # crossing lanes' (o, d, id) planes.  The whole r4 XLA compaction
         # (cumsum/scatter/sort/gather, ~5.5 ms/step measured) is gone.
-        hf, mr, cnt1 = pl.pallas_call(
+        # The packed buffers carry SUB rows of slack so every consumer's
+        # fixed-size per-tile slice DMA stays in bounds.
+        hf, mr, cnt1, offs1 = pl.pallas_call(
             k1, grid=(g,),
             in_specs=[_smem_spec(stri.shape), _smem_spec(ssph.shape),
                       _smem_spec(pred_aabb.shape), _plane_spec(1),
                       _plane_spec(6)],
-            out_specs=[_plane_spec(5), buf_spec(7, capm_rows),
-                       _smem_spec((1, 2))],
+            out_specs=[_plane_spec(5), buf_spec(7, capm_rows + SUB),
+                       _smem_spec((1, 2)), _smem_spec((g, 2))],
             out_shape=[
                 jax.ShapeDtypeStruct((5, rp // 128, 128), jnp.float32),
-                jax.ShapeDtypeStruct((7, capm_rows, 128), jnp.float32),
+                jax.ShapeDtypeStruct((7, capm_rows + SUB, 128),
+                                     jnp.float32),
                 jax.ShapeDtypeStruct((1, 2), jnp.int32),
+                jax.ShapeDtypeStruct((g, 2), jnp.int32),
             ],
             scratch_shapes=[pltpu.SMEM((2,), jnp.int32)],
             compiler_params=seq,
             interpret=interpret,
         )(stri, ssph, pred_aabb, pix_planes, sf[0:6])
 
-        # Mesh main pass over the packed buffer; scatter winners back via
-        # the packed id plane (rp_fill ids drop).
+        # Mesh main pass over the packed buffer (winners stay packed; K1b
+        # unpacks its own tile's slice — no XLA scatter).
         mvals = _mesh_pass(smc_tri, mr, cnt1, n_clusters=n_clusters,
                            cs=cs, t_min=t_min, occl=False, msub=msub,
                            resident=resident, interpret=interpret)
-        ids = mr[6].reshape(-1).astype(jnp.int32)
-        mesh = jnp.full((5, rp), np.float32(NO_HIT))
-        mesh = mesh.at[1:5, :].set(0.0)
-        mesh = mesh.at[:, ids].set(mvals.reshape(5, -1), mode="drop")
 
-        # K1b: merge + facing normal + shading point + NEE light sample +
-        # shadow predicate + in-kernel pack of the shadow rays.
-        kb, sr, cnt2 = pl.pallas_call(
+        # K1b: unpack mesh winners + merge + facing normal + shading point
+        # + NEE light sample + shadow predicate + in-kernel pack of the
+        # shadow rays.
+        kb, sr, cnt2, offs2 = pl.pallas_call(
             k1b, grid=(g,),
             in_specs=[
                 _smem_spec((1, 1)), _smem_spec(light.shape),
                 _smem_spec(mat.shape), _smem_spec((1, 8)),
-                _smem_spec(pred_aabb.shape),
+                _smem_spec(pred_aabb.shape), _smem_spec((g, 2)),
                 _plane_spec(1), _plane_spec(6), _plane_spec(5),
-                _plane_spec(5), _plane_spec(2),
+                _plane_spec(2),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
             ],
-            out_specs=[_plane_spec(8), buf_spec(8, caps_rows),
-                       _smem_spec((1, 2))],
+            out_specs=[_plane_spec(8), buf_spec(8, caps_rows + SUB),
+                       _smem_spec((1, 2)), _smem_spec((g, 2))],
             out_shape=[
                 jax.ShapeDtypeStruct((8, rp // 128, 128), jnp.float32),
-                jax.ShapeDtypeStruct((8, caps_rows, 128), jnp.float32),
+                jax.ShapeDtypeStruct((8, caps_rows + SUB, 128),
+                                     jnp.float32),
                 jax.ShapeDtypeStruct((1, 2), jnp.int32),
+                jax.ShapeDtypeStruct((g, 2), jnp.int32),
             ],
-            scratch_shapes=[pltpu.SMEM((2,), jnp.int32)],
+            scratch_shapes=[
+                pltpu.SMEM((2,), jnp.int32),
+                pltpu.VMEM((SUB, 128), jnp.float32),
+                pltpu.VMEM((5, SUB, 128), jnp.float32),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
             compiler_params=seq,
             interpret=interpret,
-        )(seed, light, mat, sky.reshape(1, 8), pred_aabb, pix_planes,
-          sf[0:6], hf, planes(mesh), si[0:2])
+        )(seed, light, mat, sky.reshape(1, 8), pred_aabb, offs1,
+          pix_planes, sf[0:6], hf, si[0:2], mr, mvals)
 
-        # Shadow occlusion pass over the packed buffer; scatter the flag.
+        # Shadow occlusion pass over the packed buffer (flags stay packed;
+        # K2 unpacks its own tile's slice).
         occ_sub = _mesh_pass(smc_tri, sr, cnt2, n_clusters=n_clusters,
                              cs=cs, t_min=t_min, occl=True, msub=msub,
                              resident=resident, interpret=interpret)
-        ids2 = sr[7].reshape(-1).astype(jnp.int32)
-        occ = jnp.zeros((1, rp), jnp.float32).at[:, ids2].set(
-            occ_sub.reshape(1, -1), mode="drop")
 
         hf2 = planes(jnp.concatenate([flat(kb), flat(sf[3:6])], 0))
 
@@ -1272,18 +1361,25 @@ def _run_steps(stri, ssph, mat, light, sky, smc_tri, pred_aabb, seed,
                 _smem_spec((1, 1)), _smem_spec((1, 16)),
                 _smem_spec(stri.shape), _smem_spec(ssph.shape),
                 _smem_spec(mat.shape), _smem_spec(light.shape),
-                _smem_spec((1, 8)),
+                _smem_spec((1, 8)), _smem_spec((g, 2)),
                 _plane_spec(1), _plane_spec(2), _plane_spec(11),
-                _plane_spec(1), _plane_spec(9), _plane_spec(3),
+                _plane_spec(9), _plane_spec(3),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
             ],
             out_specs=[_plane_spec(15), _plane_spec(4)],
             out_shape=[
                 jax.ShapeDtypeStruct((15, rp // 128, 128), jnp.float32),
                 jax.ShapeDtypeStruct((4, rp // 128, 128), jnp.int32),
             ],
+            scratch_shapes=[
+                pltpu.VMEM((SUB, 128), jnp.float32),
+                pltpu.VMEM((SUB, 128), jnp.float32),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
             interpret=interpret,
-        )(seed, cam16, stri, ssph, mat, light, sky.reshape(1, 8),
-          pix_planes, pxy_planes, hf2, planes(occ), sf[6:15], si[0:3])
+        )(seed, cam16, stri, ssph, mat, light, sky.reshape(1, 8), offs2,
+          pix_planes, pxy_planes, hf2, sf[6:15], si[0:3], sr, occ_sub)
 
         nsh = jnp.sum(flat(si2)[3])
         si3 = jnp.concatenate([si2[0:3], si[3:4]], 0)

@@ -121,6 +121,42 @@ def test_funnel_pack_overflow_skips_whole_tiles(rng_np):
     np.testing.assert_array_equal(np.asarray(out)[0, :SUB], x[0, :SUB])
 
 
+def test_funnel_unpack_inverts_pack(rng_np):
+    for density in (0.0, 0.05, 0.3, 1.0):
+        n_planes = 2
+        x = rng_np.standard_normal((n_planes, SUB, 128)).astype(np.float32)
+        x[-1] = np.arange(SUB * 128, dtype=np.float32).reshape(SUB, 128)
+        pred = (rng_np.random((SUB, 128)) < density).astype(np.int32)
+
+        def kern(x_ref, p_ref, o_ref, m_ref):
+            planes = [x_ref[j] for j in range(n_planes)]
+            packed, count = cp.funnel_pack(planes, p_ref[:, :])
+            # round-trip: targets are the packed id plane (exact ints)
+            tgt = packed[-1].astype(np.int32)
+            si = jax.lax.broadcasted_iota(jnp.int32, tgt.shape, 0)
+            li = jax.lax.broadcasted_iota(jnp.int32, tgt.shape, 1)
+            flat = si * 128 + li
+            un, landed = cp.funnel_unpack(packed, tgt,
+                                          (flat < count).astype(jnp.int32))
+            for j in range(n_planes):
+                o_ref[j] = un[j]
+            m_ref[0] = landed.astype(jnp.float32)
+
+        out, mask = pl.pallas_call(
+            kern,
+            out_shape=[
+                jax.ShapeDtypeStruct((n_planes, SUB, 128), jnp.float32),
+                jax.ShapeDtypeStruct((1, SUB, 128), jnp.float32),
+            ],
+            interpret=True,
+        )(jnp.asarray(x), jnp.asarray(pred))
+        out, mask = np.asarray(out), np.asarray(mask)[0] != 0
+        np.testing.assert_array_equal(mask, pred != 0, err_msg=f"{density}")
+        for j in range(n_planes):
+            np.testing.assert_array_equal(out[j][mask], x[j][pred != 0],
+                                          err_msg=f"d={density} plane {j}")
+
+
 def test_tile_prefix_pos_matches_numpy(rng_np):
     pred = (rng_np.random((SUB, 128)) < 0.3).astype(np.int32)
 
