@@ -47,8 +47,9 @@ class MeshBundle(NamedTuple):
     pv0: Optional[jax.Array]                 # leaf-order triangles (sparse)
     pe1: Optional[jax.Array]
     pe2: Optional[jax.Array]
-    method: str                              # "packet" | "brute" | "sparse"
+    method: str                    # "packet" | "brute" | "sparse" | "fused"
     bounds: Optional[tuple] = None           # ((lo xyz), (hi xyz)) floats
+    coherent: Optional[object] = None        # ops.coherent.CoherentPack
 
 
 def prepare(scene: Scene, method: str = "auto", leaf_size: int = 4,
@@ -76,6 +77,22 @@ def prepare(scene: Scene, method: str = "auto", leaf_size: int = 4,
         return MeshBundle(scene=scene, clusters=clusters, bvh=None,
                           pv0=None, pe1=None, pe2=None, method="packet",
                           bounds=bounds)
+
+    if method == "fused":
+        # r5 shortlist intersector (ops.coherent): per-tile exact cluster
+        # work lists + SMEM-resident table — the real-time path for the
+        # BVH stage's coherent primary/shadow rays.  Requires SMEM
+        # residency; larger meshes stay on the streaming packet path.
+        from cpu_based_ray_tracer_tpu.ops import coherent
+
+        pack = coherent.pack_coherent(scene, cluster_size=cluster_size)
+        if not coherent.fits_resident(pack):
+            raise ValueError(
+                "mesh too large for the SMEM-resident fused intersector "
+                f"({pack.aabb.shape[0]} clusters); use method='packet'")
+        return MeshBundle(scene=scene, clusters=None, bvh=None, pv0=None,
+                          pe1=None, pe2=None, method="fused",
+                          coherent=pack)
 
     if method == "sparse":
         v0 = np.asarray(scene.triangles.v0, np.float64)
@@ -118,7 +135,7 @@ def _sort_order(bundle: MeshBundle, origin, direction):
 
 
 def make_intersect_fn(bundle: MeshBundle, sort_rays: bool = False,
-                      differentiable: bool = False):
+                      differentiable: bool = False, hw=None):
     """An ``intersect_fn(scene, o, d, t_min) -> Hit`` backed by the bundle's
     intersector (plus the brute-force sphere pass inside ``assemble_hit``).
 
@@ -170,6 +187,25 @@ def make_intersect_fn(bundle: MeshBundle, sort_rays: bool = False,
 
         return fn
 
+    if bundle.method == "fused":
+        pack = bundle.coherent
+
+        def fn(scene, origin, direction, t_min):
+            import jax
+
+            from cpu_based_ray_tracer_tpu.ops import coherent
+
+            o = jax.lax.stop_gradient(origin)     # detached traversal
+            d = jax.lax.stop_gradient(direction)
+            tt, idx = coherent.nearest(
+                pack.tri, pack.aabb, o, d, n_cl=pack.aabb.shape[0],
+                cs=pack.cs, t_min=float(t_min), hw=hw,
+                interpret=jax.default_backend() == "cpu")
+            return intersect.assemble_hit(scene, origin, direction, tt, idx,
+                                          t_min)
+
+        return fn
+
     if bundle.method == "sparse":
         def fn(scene, origin, direction, t_min):
             tt, idx = bvh_ops.traverse(bundle.bvh, bundle.pv0, bundle.pe1,
@@ -183,7 +219,7 @@ def make_intersect_fn(bundle: MeshBundle, sort_rays: bool = False,
         scene, o, d, t_min=t_min)
 
 
-def make_nearest_t_fn(bundle: MeshBundle, sort_rays: bool = False):
+def make_nearest_t_fn(bundle: MeshBundle, sort_rays: bool = False, hw=None):
     """A ``nearest_t_fn(scene, o, d, t_min) -> t (R,)`` shadow/occlusion fast
     path through the bundle's intersector (triangles) + the brute sphere min
     (``ops.intersect.nearest_t`` semantics)."""
@@ -216,6 +252,27 @@ def make_nearest_t_fn(bundle: MeshBundle, sort_rays: bool = False):
 
         return fn
 
+    if bundle.method == "fused":
+        pack = bundle.coherent
+
+        def fn(scene, origin, direction, t_min):
+            import jax
+
+            from cpu_based_ray_tracer_tpu.ops import coherent
+
+            origin = jax.lax.stop_gradient(origin)
+            direction = jax.lax.stop_gradient(direction)
+            tt, _ = coherent.nearest(
+                pack.tri, pack.aabb, origin, direction,
+                n_cl=pack.aabb.shape[0], cs=pack.cs, t_min=float(t_min),
+                hw=hw, interpret=jax.default_backend() == "cpu")
+            sp = scene.spheres
+            ts = jnp.min(intersect.intersect_spheres(
+                origin, direction, sp.center, sp.radius, t_min, jnp.inf), -1)
+            return jnp.minimum(tt, ts)
+
+        return fn
+
     return lambda scene, o, d, t_min: intersect.nearest_t(scene, o, d,
                                                           t_min=t_min)
 
@@ -223,9 +280,18 @@ def make_nearest_t_fn(bundle: MeshBundle, sort_rays: bool = False):
 def render(bundle: MeshBundle, camera: cam_mod.PerspectiveCamera,
            cfg: RenderConfig) -> jax.Array:
     """Whitted render of the mesh scene through the bundle's intersector."""
+    hw = None
+    if bundle.method == "fused":
+        # The shortlist intersector tiles 32x128 PIXEL rectangles — it
+        # needs whole-image ray sets (no row-strip chunking) and the image
+        # shape threaded through.
+        import dataclasses
+
+        hw = (cfg.height, cfg.width)
+        cfg = dataclasses.replace(cfg, ray_chunk=cfg.height * cfg.width)
     return whitted.render(bundle.scene, camera, cfg,
-                          intersect_fn=make_intersect_fn(bundle),
-                          nearest_t_fn=make_nearest_t_fn(bundle))
+                          intersect_fn=make_intersect_fn(bundle, hw=hw),
+                          nearest_t_fn=make_nearest_t_fn(bundle, hw=hw))
 
 
 def render_mc(bundle: MeshBundle, camera: cam_mod.PerspectiveCamera,

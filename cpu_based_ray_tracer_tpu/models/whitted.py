@@ -68,7 +68,7 @@ def _offset_origin(point, direction, normal, eps):
 
 
 def _shade_diffuse_glossy(scene: Scene, hit: intersect.Hit, direction,
-                          cfg: RenderConfig, nearest_t_fn):
+                          cfg: RenderConfig, nearest_t_fn, live=None):
     """Blinn-Phong direct lighting with shadow rays (Renderer.h:252-306).
     Returns (R, 3) local radiance for every lane (callers mask).
 
@@ -90,6 +90,15 @@ def _shade_diffuse_glossy(scene: Scene, hit: intersect.Hit, direction,
     inside = vec.dot(direction, n) < 0.0
     p = jnp.where(inside, hit.point + n * cfg.eps_offset,
                   hit.point - n * cfg.eps_offset)
+    hp = hit.point
+    if live is not None:
+        # Dead lanes (misses, specular hits) carry huge/garbage hit points;
+        # their local radiance is masked out by the caller, but garbage
+        # shadow-ray origins would defeat every accelerated intersector's
+        # culling (r5: packet-block culls AND shortlists collapse to the
+        # full cluster set).  Pin them to the origin — any value is legal.
+        p = jnp.where(live[:, None], p, 0.0)
+        hp = jnp.where(live[:, None], hp, 0.0)
 
     diffuse_sum = jnp.zeros_like(color)
     specular_sum = jnp.zeros_like(color)
@@ -97,10 +106,19 @@ def _shade_diffuse_glossy(scene: Scene, hit: intersect.Hit, direction,
     for li in range(lights.count):
         lpos = lights.position[li]
         lrad = lights.radiance[li]
-        to_l = lpos - hit.point                    # from the intersection
+        to_l = lpos - hp                           # from the intersection
+        p_l = p
+        if live is not None:
+            # Dead lanes' shadow segments sit just under the light itself
+            # (1 unit, pointing up at it): a pinned-at-origin segment can
+            # still cross the scene and cost accelerated intersectors real
+            # cluster work.  Values are masked out below either way.
+            down = jnp.asarray([0.0, -1.0, 0.0], p.dtype)
+            to_l = jnp.where(live[:, None], to_l, -down)
+            p_l = jnp.where(live[:, None], p, lpos + down)
         dist2 = jnp.sum(to_l * to_l, -1)
         ldir = vec.normalize(to_l)
-        occ_t = nearest_t_fn(scene, p, ldir, cfg.t_min)
+        occ_t = nearest_t_fn(scene, p_l, ldir, cfg.t_min)
         occluded = occ_t * occ_t < dist2           # miss -> t = NO_HIT_T
         cos_l = jnp.abs(jnp.sum(ldir * n, -1, keepdims=True))
         spec = jnp.maximum(
@@ -179,9 +197,13 @@ def trace(scene: Scene, origin, direction, cfg: RenderConfig,
                             weight * scene.sky_top, 0.0)
         # Diffuse_Glossy -> local Blinn-Phong, path ends.
         is_diff = alive & hit.hit & (kind == DIFFUSE_GLOSSY)
-        local = _shade_diffuse_glossy(scene, hit, d, cfg, nearest_t_fn)
+        local = _shade_diffuse_glossy(scene, hit, d, cfg, nearest_t_fn,
+                                      live=is_diff)
         contrib = contrib + jnp.where(is_diff[:, None], weight * local, 0.0)
-        rad_delta = jax.ops.segment_sum(contrib, pix, num_segments=r)
+        if pix is None:
+            rad_delta = contrib    # level 0: lane i IS pixel i, no scatter
+        else:
+            rad_delta = jax.ops.segment_sum(contrib, pix, num_segments=r)
         if not spawn:
             return rad_delta, None
 
@@ -208,7 +230,8 @@ def trace(scene: Scene, origin, direction, cfg: RenderConfig,
         cw = jnp.concatenate([refl_w, refr_w], 0)
         ca = jnp.concatenate([(is_refl | is_glass) & (refl_w[:, 0] > 0.0),
                               is_glass & ~tir & (refr_w[:, 0] > 0.0)], 0)
-        cp = jnp.concatenate([pix, pix], 0)
+        pixv = pix if pix is not None else jnp.arange(r, dtype=jnp.int32)
+        cp = jnp.concatenate([pixv, pixv], 0)
         return rad_delta, (co, cd, cw, ca, cp)
 
     o, d = origin, direction
@@ -219,7 +242,7 @@ def trace(scene: Scene, origin, direction, cfg: RenderConfig,
     for level in range(cfg.whitted_depth + 1):
         last = (level == cfg.whitted_depth) or not has_specular
         if level == 0:
-            rad_delta, children = level_body(o, d, weight, alive, pix,
+            rad_delta, children = level_body(o, d, weight, alive, None,
                                              spawn=not last)
         else:
             # Once the tree is dead (all-diffuse scene, deep levels after

@@ -417,13 +417,15 @@ def _k2_kernel(seed_ref, cam_ref, stri_ref, ssph_ref, mat_ref, light_ref,
     valid = pix < jnp.uint32(n_pix)
     pxf, pyf = pxy_ref[0], pxy_ref[1]
 
-    # Merged-hit planes from K1 + the XLA mesh pass: t, facing unit normal,
-    # material id, shading point, occluded-by-mesh flag.
+    # Merged-hit planes from K1b: t, facing unit normal, material id,
+    # shading point; the ray direction comes straight off the state planes
+    # (r5: no XLA concat between K1b and K2 — kb and sf[3:15] are passed
+    # as separate blocks).
     t_hit = hf_ref[0]
     nxp, nyp, nzp = hf_ref[1], hf_ref[2], hf_ref[3]
     midp = hf_ref[4]
     hx, hy, hz = hf_ref[5], hf_ref[6], hf_ref[7]
-    dx, dy, dz = hf_ref[8], hf_ref[9], hf_ref[10]
+    dx, dy, dz = sf_ref[0], sf_ref[1], sf_ref[2]
     d_ids.wait()
     d_occ.wait()
     si2_ = jax.lax.broadcasted_iota(jnp.int32, t_hit.shape, 0)
@@ -437,9 +439,9 @@ def _k2_kernel(seed_ref, cam_ref, stri_ref, ssph_ref, mat_ref, light_ref,
     s = si_ref[0]
     bb = si_ref[1]
     nd = si_ref[2]
-    tpx, tpy, tpz = sf_ref[0], sf_ref[1], sf_ref[2]
-    cux, cuy, cuz = sf_ref[3], sf_ref[4], sf_ref[5]
-    axp, ayp, azp = sf_ref[6], sf_ref[7], sf_ref[8]
+    tpx, tpy, tpz = sf_ref[3], sf_ref[4], sf_ref[5]
+    cux, cuy, cuz = sf_ref[6], sf_ref[7], sf_ref[8]
+    axp, ayp, azp = sf_ref[9], sf_ref[10], sf_ref[11]
 
     def cam_ray(jx, jy):
         ndc_x = (pxf + jx) / f32(width) * 2.0 - 1.0
@@ -734,6 +736,8 @@ def build_smem_clusters(verts: np.ndarray, normals: np.ndarray,
         rows[ci, :k, 6:9] = e2[idx]
         rows[ci, :k, 9:12] = normals[idx]
         rows[ci, :k, 12] = mids[idx]
+        rows[ci, :k, 13] = idx          # original triangle index (f32)
+        rows[ci, k:, 13] = -1.0
         lo = tris[idx].reshape(-1, 3).min(0)
         hi = tris[idx].reshape(-1, 3).max(0)
         aabb[ci, 0:3] = np.nextafter(lo.astype(np.float32), -np.inf)
@@ -1353,8 +1357,6 @@ def _run_steps(stri, ssph, mat, light, sky, smc_tri, pred_aabb, seed,
                              cs=cs, t_min=t_min, occl=True, msub=msub,
                              resident=resident, interpret=interpret)
 
-        hf2 = planes(jnp.concatenate([flat(kb), flat(sf[3:6])], 0))
-
         sf2, si2 = pl.pallas_call(
             k2, grid=(g,),
             in_specs=[
@@ -1362,8 +1364,8 @@ def _run_steps(stri, ssph, mat, light, sky, smc_tri, pred_aabb, seed,
                 _smem_spec(stri.shape), _smem_spec(ssph.shape),
                 _smem_spec(mat.shape), _smem_spec(light.shape),
                 _smem_spec((1, 8)), _smem_spec((g, 2)),
-                _plane_spec(1), _plane_spec(2), _plane_spec(11),
-                _plane_spec(9), _plane_spec(3),
+                _plane_spec(1), _plane_spec(2), _plane_spec(8),
+                _plane_spec(12), _plane_spec(3),
                 pl.BlockSpec(memory_space=pl.ANY),
                 pl.BlockSpec(memory_space=pl.ANY),
             ],
@@ -1379,7 +1381,7 @@ def _run_steps(stri, ssph, mat, light, sky, smc_tri, pred_aabb, seed,
             ],
             interpret=interpret,
         )(seed, cam16, stri, ssph, mat, light, sky.reshape(1, 8), offs2,
-          pix_planes, pxy_planes, hf2, sf[6:15], si[0:3], sr, occ_sub)
+          pix_planes, pxy_planes, kb, sf[3:15], si[0:3], sr, occ_sub)
 
         nsh = jnp.sum(flat(si2)[3])
         si3 = jnp.concatenate([si2[0:3], si[3:4]], 0)

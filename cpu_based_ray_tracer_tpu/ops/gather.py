@@ -18,18 +18,30 @@ import jax.numpy as jnp
 # gather (and the one-hot operand stops fitting nicely); measured on v5e.
 ONE_HOT_MAX_ROWS = 2048
 
+# At or below this many rows an unrolled select chain beats even the
+# one-hot contraction: a single 800k-lane contraction measures ~2.8 ms on
+# the v5e (r5, tools history) while K x C selects fuse into neighbors for
+# ~0.1 ms.  Selects move table bits exactly, like the HIGHEST one-hot.
+SELECT_MAX_ROWS = 8
+
 
 def take_rows(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
-    """table (K, C) float, idx (R,) int -> (R, C), via one-hot matmul when K
-    is small, plain gather otherwise.
+    """table (K, C) float, idx (R,) int -> (R, C): unrolled selects for
+    tiny tables, one-hot matmul for small ones, plain gather otherwise.
 
-    precision=HIGHEST is load-bearing: the TPU MXU's default precision
-    multiplies in bf16, which ROUNDS THE GATHERED VALUES to 8 mantissa bits
-    (r3 bug: the Cornell light's y=5.487 became 5.5, teleporting every NEE
-    sample above the ceiling — every shadow ray occluded, near-black
-    renders).  With HIGHEST the one-hot rows reproduce the f32 table bits
-    exactly; a gather must be a gather."""
+    precision=HIGHEST is load-bearing on the one-hot path: the TPU MXU's
+    default precision multiplies in bf16, which ROUNDS THE GATHERED VALUES
+    to 8 mantissa bits (r3 bug: the Cornell light's y=5.487 became 5.5,
+    teleporting every NEE sample above the ceiling — every shadow ray
+    occluded, near-black renders).  With HIGHEST the one-hot rows reproduce
+    the f32 table bits exactly; a gather must be a gather."""
     k = table.shape[0]
+    if k <= SELECT_MAX_ROWS:
+        out = jnp.broadcast_to(table[0][None, :],
+                               idx.shape + (table.shape[1],))
+        for kk in range(1, k):
+            out = jnp.where((idx == kk)[:, None], table[kk][None, :], out)
+        return out
     if k > ONE_HOT_MAX_ROWS:
         return table[idx]
     oh = (idx[:, None] == jnp.arange(k, dtype=idx.dtype)[None, :])
