@@ -277,6 +277,80 @@ def make_nearest_t_fn(bundle: MeshBundle, sort_rays: bool = False, hw=None):
                                                           t_min=t_min)
 
 
+def make_soft_vis_fn(scene: Scene, gate_mask=None, cap: int | None = None):
+    """Mesh-scale differentiable shadow visibility (SURVEY §7 hard part (c)
+    through the ACCELERATED route, VERDICT r4 next #5).
+
+    ``intersect.soft_visibility`` is O(R x N) over every scene triangle;
+    at mesh scale that is the one remaining brute-force term of the
+    differentiable path.  This gates the mesh triangles behind the same
+    AABB predicate the fused shadow pass uses: soft coverage runs on the
+    COMPACTED subset of lanes whose shadow segment crosses the (beta-
+    inflated) mesh AABB — the small room primitives stay brute for every
+    lane.  Fully differentiable (jnp.nonzero compaction; gathers/scatters
+    carry the cotangents); results match the brute estimator to the
+    sigmoid tail cut at the inflated AABB (< sigmoid(-10) per occluder).
+
+    ``gate_mask``: (N,) bool, True = mesh triangle (default: the
+    ``fused_mesh.pack_mesh_scene`` size heuristic).  ``cap``: max compacted
+    lanes per call (default R, i.e. exact; tighten for speed)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from cpu_based_ray_tracer_tpu.ops import fused_mesh
+    from cpu_based_ray_tracer_tpu.ops import intersect as isect
+
+    tr0 = scene.triangles
+    v0 = np.asarray(tr0.v0, np.float64)
+    e1 = np.asarray(tr0.e1, np.float64)
+    e2 = np.asarray(tr0.e2, np.float64)
+    verts = np.stack([v0, v0 + e1, v0 + e2], 1)
+    if gate_mask is None:
+        emissive = np.asarray(scene.materials.emissive)[
+            np.asarray(tr0.material)]
+        lo_all = verts.reshape(-1, 3).min(0)
+        hi_all = verts.reshape(-1, 3).max(0)
+        scene_diag = float(np.linalg.norm(hi_all - lo_all))
+        tri_diag = np.linalg.norm(verts.max(1) - verts.min(1), axis=-1)
+        gate_mask = (tri_diag < 0.15 * scene_diag) & ~emissive
+    gate_mask = np.asarray(gate_mask, bool)
+    gidx = jnp.asarray(np.flatnonzero(gate_mask))
+    sidx = jnp.asarray(np.flatnonzero(~gate_mask))
+    gpts = verts[gate_mask].reshape(-1, 3)
+    glo = jnp.asarray(gpts.min(0), jnp.float32)
+    ghi = jnp.asarray(gpts.max(0), jnp.float32)
+    hmax = float(np.sqrt(np.maximum(
+        2.0 * np.asarray(tr0.area)[gate_mask], 1e-12).max()))
+
+    def fn(scene_rt, p, w, dist, t_min, beta, tol):
+        import jax
+
+        tr = scene_rt.triangles
+        sp = scene_rt.spheres
+        vis = (isect.soft_visibility_tris(
+                   tr.v0[sidx], tr.e1[sidx], tr.e2[sidx], tr.area[sidx],
+                   p, w, dist, t_min, beta, tol)
+               * isect.soft_visibility_spheres(
+                   sp.center, sp.radius, p, w, dist, t_min, beta, tol))
+        r = p.shape[0]
+        c = cap or r
+        # beta-inflated AABB: keeps the cut sigmoid tail below e^-10
+        pad = 10.0 * beta * hmax
+        pred = fused_mesh._slab_crosses(
+            jax.lax.stop_gradient(p), jax.lax.stop_gradient(w),
+            glo - pad, ghi + pad, t_min, jax.lax.stop_gradient(dist))
+        idx = jnp.nonzero(pred, size=c, fill_value=r)[0]
+        gi = jnp.clip(idx, 0, r - 1)
+        sub = isect.soft_visibility_tris(
+            tr.v0[gidx], tr.e1[gidx], tr.e2[gidx], tr.area[gidx],
+            p[gi], w[gi], dist[gi], t_min, beta, tol)
+        sub = jnp.where(idx < r, sub, 1.0)
+        vis_mesh = jnp.ones((r,), vis.dtype).at[idx].set(sub, mode="drop")
+        return vis * vis_mesh
+
+    return fn
+
+
 def render(bundle: MeshBundle, camera: cam_mod.PerspectiveCamera,
            cfg: RenderConfig) -> jax.Array:
     """Whitted render of the mesh scene through the bundle's intersector."""

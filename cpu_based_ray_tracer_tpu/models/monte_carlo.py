@@ -52,7 +52,7 @@ def _brdf_diffuse(albedo, cos_in):
 
 def _bounce_step(scene: Scene, cfg: RenderConfig, *, seed, pixel, sample,
                  bounce, o, d, throughput, alive,
-                 intersect_fn=None, nearest_t_fn=None):
+                 intersect_fn=None, nearest_t_fn=None, soft_vis_fn=None):
     """One path-tracing bounce for a batch of lanes (the body of BOTH engines).
 
     ``sample``/``bounce`` may be scalars (the fixed-depth scan engine) or
@@ -110,9 +110,9 @@ def _bounce_step(scene: Scene, cfg: RenderConfig, *, seed, pixel, sample,
         # exactly at penumbra boundaries, where the binary test's gradient
         # is zero/undefined.  Biased over a ~beta-wide edge band; beta -> 0
         # recovers the reference's hard test.
-        vis_w = intersect.soft_visibility(scene, p, wi_l, dist, cfg.t_min,
-                                          cfg.soft_shadow_beta,
-                                          cfg.shadow_tolerance)
+        svf = soft_vis_fn or intersect.soft_visibility
+        vis_w = svf(scene, p, wi_l, dist, cfg.t_min,
+                    cfg.soft_shadow_beta, cfg.shadow_tolerance)
     else:
         occ_t = nearest_t_fn(scene, p, wi_l, cfg.t_min)
         visible = dist < occ_t + cfg.shadow_tolerance  # Renderer.cpp:186
@@ -144,7 +144,8 @@ def _bounce_step(scene: Scene, cfg: RenderConfig, *, seed, pixel, sample,
 
 def trace(scene: Scene, origin, direction, cfg: RenderConfig, *,
           seed, pixel, sample, count_rays: bool = False,
-          intersect_fn=None, nearest_t_fn=None, first_hit=None):
+          intersect_fn=None, nearest_t_fn=None, soft_vis_fn=None,
+          first_hit=None):
     """Path radiance for a batch of primary rays, (R, 3).
 
     seed: uint32 scalar; pixel: (R,) absolute pixel index (the RNG counter);
@@ -168,7 +169,8 @@ def trace(scene: Scene, origin, direction, cfg: RenderConfig, *,
         delta, o, d, throughput, alive, n_main, n_shadow = _bounce_step(
             scene, cfg, seed=seed, pixel=pixel, sample=sample, bounce=bounce,
             o=o, d=d, throughput=throughput, alive=alive,
-            intersect_fn=bounce_intersect_fn, nearest_t_fn=nearest_t_fn)
+            intersect_fn=bounce_intersect_fn, nearest_t_fn=nearest_t_fn,
+            soft_vis_fn=soft_vis_fn)
         return (o, d, throughput, radiance + delta, alive,
                 nrays + n_main + n_shadow), None
 
@@ -209,8 +211,8 @@ def _primary_rays(camera, cfg: RenderConfig, seed, sample,
 
 
 def render(scene: Scene, camera: cam_mod.PerspectiveCamera, cfg: RenderConfig,
-           key: jax.Array, *, intersect_fn=None, nearest_t_fn=None
-           ) -> jax.Array:
+           key: jax.Array, *, intersect_fn=None, nearest_t_fn=None,
+           soft_vis_fn=None) -> jax.Array:
     """Mean linear radiance, (H, W, 3).  The SPP loop mirrors the reference's
     progressive accumulation (one jittered frame per accumulated sample,
     Renderer.cpp:91-134 + Camera.cpp:121) as a scan over the sample index.
@@ -222,13 +224,14 @@ def render(scene: Scene, camera: cam_mod.PerspectiveCamera, cfg: RenderConfig,
                                 jnp.zeros((cfg.height, cfg.width, 3),
                                           jnp.float32), 0,
                                 intersect_fn=intersect_fn,
-                                nearest_t_fn=nearest_t_fn)
+                                nearest_t_fn=nearest_t_fn,
+                                soft_vis_fn=soft_vis_fn)
     return acc / cfg.spp
 
 
 def render_progressive(scene: Scene, camera, cfg: RenderConfig, key,
                        accum, start_sample, *, intersect_fn=None,
-                       nearest_t_fn=None):
+                       nearest_t_fn=None, soft_vis_fn=None):
     """Accumulate ``cfg.spp`` more samples on top of ``accum`` (sample indices
     ``start_sample..start_sample+spp``).  The (accum, next_index) pair is the
     checkpointable progressive-rendering state — the reference's
@@ -240,7 +243,8 @@ def render_progressive(scene: Scene, camera, cfg: RenderConfig, key,
     def one_sample(acc, s):
         o, d, pixel = _primary_rays(camera, cfg, seed, s)
         rad = trace(scene, o, d, cfg, seed=seed, pixel=pixel, sample=s,
-                    intersect_fn=intersect_fn, nearest_t_fn=nearest_t_fn)
+                    intersect_fn=intersect_fn, nearest_t_fn=nearest_t_fn,
+                    soft_vis_fn=soft_vis_fn)
         return acc + rad.reshape(h, w, 3), None
 
     acc, _ = jax.lax.scan(one_sample, accum,

@@ -103,7 +103,15 @@ def pack_mesh_scene(scene: Scene, gate_mask: Optional[np.ndarray] = None,
     Default heuristic: non-emissive triangles whose AABB diagonal is below
     15% of the scene diagonal (room walls/boxes span the room; mesh
     triangles are tiny).  Emissive triangles are never gated (NEE samples
-    them from the SMEM light table)."""
+    them from the SMEM light table).
+
+    Heuristic domain: room-plus-mesh scenes where the enclosure is built
+    from large primitives.  A room tessellated into SMALL triangles gates
+    almost everything, the mesh predicate then fires for ~every lane, and
+    the compaction caps overflow — REPORTED, and the adaptive drivers
+    (``render_turbo_mesh``) double the caps and complete correctly, just
+    without the compaction win (tests/test_fused_mesh.py adversarial
+    gate).  Pass an explicit ``gate_mask`` for such scenes."""
     tr, sp, mats = scene.triangles, scene.spheres, scene.materials
     v0 = np.asarray(tr.v0, np.float64)
     e1 = np.asarray(tr.e1, np.float64)
@@ -961,56 +969,168 @@ def _mesh_occl_kernel(cnt_ref, rays_ref, tri_hbm, out_ref, tri_smem, sem,
 
 # Largest cluster table the kernels keep SMEM-resident (v5e probe: 768 KB
 # scratch compiles, 1 MB does not; /tmp smem_limit_probe r5).  736 KB keeps
-# bunny+teapot (89 clusters) resident.  Bigger tables fall back to
-# per-cluster double-buffered streaming.
+# bunny+teapot (89 clusters) resident.  Bigger tables run the
+# SHORTLIST-streaming mode: per-tile exact cluster work lists (the
+# ops.coherent mask pass over the packed buffer) drive double-buffered
+# per-listed-cluster DMA — the sweep stays sublinear in total clusters
+# where a cond-free full stream would be linear.
 SMEM_RESIDENT_BUDGET = 736 * 1024
+
+
+def _mesh_sl_kernel(cnts_ref, ids_ref, cnt_ref, rays_ref, tri_hbm, out_ref,
+                    tri_smem, sem, *, n_clusters: int, cs: int,
+                    t_min: float, msub: int, occl: bool):
+    """Shortlist-streaming sweep for cluster tables beyond SMEM residency:
+    tile i double-buffer-DMAs exactly its shortlist's clusters
+    (scalar-prefetched ids/counts) and runs the same triangle loops.
+    Every started DMA is awaited (the prefetch guard c + 1 < n never
+    crosses the shortlist end), so no orphaned-DMA hazard (r4 lesson)."""
+    f32 = jnp.float32
+    i = pl.program_id(0)
+    cap_rows = pl.num_programs(0) * msub
+    live_rows = jnp.minimum(cnt_ref[0, 0], cap_rows)
+
+    @pl.when(i * msub < live_rows)
+    def _():
+        n = cnts_ref[i]
+        ox, oy, oz = rays_ref[0], rays_ref[1], rays_ref[2]
+        dx, dy, dz = rays_ref[3], rays_ref[4], rays_ref[5]
+        at = _smem_at(tri_smem)
+
+        def get_dma(slot, c):
+            cid = ids_ref[i * n_clusters + c]
+            return pltpu.make_async_copy(tri_hbm.at[cid],
+                                         tri_smem.at[slot], sem.at[slot])
+
+        @pl.when(n > 0)
+        def _():
+            get_dma(0, 0).start()
+
+        if occl:
+            lim = rays_ref[6]
+
+            def body(c, occ_f):
+                slot = jax.lax.rem(c, 2)
+
+                @pl.when(c + 1 < n)
+                def _():
+                    get_dma(jax.lax.rem(c + 1, 2), c + 1).start()
+
+                get_dma(slot, c).wait()
+                occ = _tri_loop_occl(at, slot, occ_f > 0.5, ox, oy, oz,
+                                     dx, dy, dz, lim, cs=cs, t_min=t_min)
+                return occ.astype(f32)
+
+            occ_f = jax.lax.fori_loop(0, n, body,
+                                      jnp.zeros(ox.shape, f32))
+            out_ref[0] = occ_f
+        else:
+            def body(c, carry):
+                slot = jax.lax.rem(c, 2)
+
+                @pl.when(c + 1 < n)
+                def _():
+                    get_dma(jax.lax.rem(c + 1, 2), c + 1).start()
+
+                get_dma(slot, c).wait()
+                return _tri_loop_nearest(at, slot, carry, ox, oy, oz,
+                                         dx, dy, dz, cs=cs, t_min=t_min)
+
+            z = jnp.zeros(ox.shape, f32)
+            carry = jax.lax.fori_loop(
+                0, n, body,
+                (jnp.full(ox.shape, f32(NO_HIT)), z, z, z, z - 1.0))
+            for p in range(5):
+                out_ref[p] = carry[p]
 
 
 @functools.partial(jax.jit,
                    static_argnames=("n_clusters", "cs", "t_min", "occl",
                                     "msub", "resident", "interpret"))
-def _mesh_pass(tri, rays, cnt, *, n_clusters, cs, t_min, occl, msub=SUB,
-               resident=True, interpret=False):
+def _mesh_pass(tri, rays, cnt, aabb=None, *, n_clusters, cs, t_min, occl,
+               msub=SUB, resident=True, interpret=False):
     """rays: (P, cap_rows, 128) packed planes — P=7 for nearest [o d id],
     8 for occlusion [p wl lim id].  cnt: (1, 2) i32 from the in-kernel
     packer.  Returns (5, cap_rows, 128) [t n mid] or (1, ...) [occluded].
-    ``msub``: kernel tile height = the tail-skip granularity."""
+    ``msub``: kernel tile height = the tail-skip granularity.
+    ``resident=False`` (cluster table past the SMEM budget) runs the
+    shortlist-streaming mode and needs ``aabb`` (C, 8)."""
     p, cap_rows, _ = rays.shape
     assert cap_rows % msub == 0, "cap must be a whole number of tiles"
     g = cap_rows // msub
-    kern = functools.partial(
-        _mesh_occl_kernel if occl else _mesh_nearest_kernel,
-        n_clusters=n_clusters, cs=cs, t_min=t_min, msub=msub,
-        resident=resident)
     n_out = 1 if occl else 5
     rowsc = cs * MESH_NF // 128
-    if resident:
-        scratch = [pltpu.SMEM((n_clusters, rowsc, 128), jnp.float32),
-                   pltpu.SemaphoreType.DMA(())]
-    else:
-        scratch = [pltpu.SMEM((2, rowsc, 128), jnp.float32),
-                   pltpu.SemaphoreType.DMA((2,))]
 
     def mspec(q):
         return pl.BlockSpec((q, msub, 128), lambda i: (0, i, 0),
                             memory_space=pltpu.VMEM)
 
-    out = pl.pallas_call(
-        kern,
+    if resident:
+        kern = functools.partial(
+            _mesh_occl_kernel if occl else _mesh_nearest_kernel,
+            n_clusters=n_clusters, cs=cs, t_min=t_min, msub=msub,
+            resident=True)
+        return pl.pallas_call(
+            kern,
+            grid=(g,),
+            in_specs=[
+                _smem_spec(cnt.shape),
+                mspec(p),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            out_specs=mspec(n_out),
+            out_shape=jax.ShapeDtypeStruct((n_out, cap_rows, 128),
+                                           jnp.float32),
+            scratch_shapes=[
+                pltpu.SMEM((n_clusters, rowsc, 128), jnp.float32),
+                pltpu.SemaphoreType.DMA(()),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",)),
+            interpret=interpret,
+        )(cnt, rays, tri)
+
+    # Shortlist-streaming mode: exact per-tile cluster work lists over the
+    # packed buffer (nearest: [o d] segment to the smalls winner is not
+    # known here, so the list is the unbounded crossing set; occlusion:
+    # lim-bounded), then per-listed-cluster double-buffered DMA.
+    assert msub == SUB, "shortlist mode tiles at SUB rows"
+    assert aabb is not None
+    from cpu_based_ray_tracer_tpu.ops import coherent
+
+    ids, cnts = coherent._shortlists(
+        aabb, rays[0:7] if occl else rays[0:6], n_cl=n_clusters,
+        t_min=t_min, interpret=interpret)
+    kern = functools.partial(
+        _mesh_sl_kernel, n_clusters=n_clusters, cs=cs, t_min=t_min,
+        msub=msub, occl=occl)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
         grid=(g,),
         in_specs=[
-            _smem_spec(cnt.shape),
-            mspec(p),
+            pl.BlockSpec(cnt.shape, lambda i, c, d: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((p, msub, 128), lambda i, c, d: (0, i, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=mspec(n_out),
-        out_shape=jax.ShapeDtypeStruct((n_out, cap_rows, 128), jnp.float32),
-        scratch_shapes=scratch,
+        out_specs=pl.BlockSpec((n_out, msub, 128),
+                               lambda i, c, d: (0, i, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.SMEM((2, rowsc, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    return pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_out, cap_rows, 128),
+                                       jnp.float32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
         interpret=interpret,
-    )(cnt, rays, tri)
-    return out
+    )(cnts, ids, cnt, rays, tri)
 
 
 
@@ -1249,8 +1369,8 @@ def _slab_crosses(o, d, lo, hi, t_lo, t_hi):
         "n_pix", "t_min", "eps_offset", "rr_survival", "shadow_tol",
         "max_depth", "cap_main", "cap_shadow", "cs", "n_clusters",
         "n_pred", "msub", "resident", "interpret"))
-def _run_steps(stri, ssph, mat, light, sky, smc_tri, pred_aabb, seed,
-               cam16, pix_planes, pxy_planes, sf, si, *, n_stri, n_sph,
+def _run_steps(stri, ssph, mat, light, sky, smc_tri, smc_aabb, pred_aabb,
+               seed, cam16, pix_planes, pxy_planes, sf, si, *, n_stri, n_sph,
                n_light, n_mat, n_steps, width, height, n_pix, t_min,
                eps_offset, rr_survival, shadow_tol, max_depth, cap_main,
                cap_shadow, cs, n_clusters, n_pred, msub, resident,
@@ -1313,9 +1433,10 @@ def _run_steps(stri, ssph, mat, light, sky, smc_tri, pred_aabb, seed,
 
         # Mesh main pass over the packed buffer (winners stay packed; K1b
         # unpacks its own tile's slice — no XLA scatter).
-        mvals = _mesh_pass(smc_tri, mr, cnt1, n_clusters=n_clusters,
-                           cs=cs, t_min=t_min, occl=False, msub=msub,
-                           resident=resident, interpret=interpret)
+        mvals = _mesh_pass(smc_tri, mr, cnt1, smc_aabb,
+                           n_clusters=n_clusters, cs=cs, t_min=t_min,
+                           occl=False, msub=msub, resident=resident,
+                           interpret=interpret)
 
         # K1b: unpack mesh winners + merge + facing normal + shading point
         # + NEE light sample + shadow predicate + in-kernel pack of the
@@ -1353,9 +1474,10 @@ def _run_steps(stri, ssph, mat, light, sky, smc_tri, pred_aabb, seed,
 
         # Shadow occlusion pass over the packed buffer (flags stay packed;
         # K2 unpacks its own tile's slice).
-        occ_sub = _mesh_pass(smc_tri, sr, cnt2, n_clusters=n_clusters,
-                             cs=cs, t_min=t_min, occl=True, msub=msub,
-                             resident=resident, interpret=interpret)
+        occ_sub = _mesh_pass(smc_tri, sr, cnt2, smc_aabb,
+                             n_clusters=n_clusters, cs=cs, t_min=t_min,
+                             occl=True, msub=msub, resident=resident,
+                             interpret=interpret)
 
         sf2, si2 = pl.pallas_call(
             k2, grid=(g,),
@@ -1470,8 +1592,8 @@ def wavefront_steps_fused_mesh(mp: MeshPack, camera, cfg: RenderConfig, key,
     si = si.reshape(4, rp // 128, 128)
 
     sf2, si2, overflow, npred = _run_steps(
-        mp.stri, mp.ssph, mp.mat, mp.light, mp.sky, mp.smc_tri, pred_aabb,
-        seed, cam16, pix_planes, pxy_planes, sf, si,
+        mp.stri, mp.ssph, mp.mat, mp.light, mp.sky, mp.smc_tri, mp.smc_aabb,
+        pred_aabb, seed, cam16, pix_planes, pxy_planes, sf, si,
         n_stri=mp.n_stri, n_sph=mp.n_sph, n_light=mp.n_light,
         n_mat=mp.n_mat, n_steps=int(n_steps), width=cfg.width,
         height=cfg.height, n_pix=n_pix, t_min=float(cfg.t_min),

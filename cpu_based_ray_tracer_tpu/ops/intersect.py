@@ -272,11 +272,25 @@ def soft_visibility(scene: Scene, origin, direction, max_dist,
     estimator for reference-scale scenes, not the production shadow path.
     """
     tr, sp = scene.triangles, scene.spheres
+    return (soft_visibility_tris(tr.v0, tr.e1, tr.e2, tr.area, origin,
+                                 direction, max_dist, t_min, beta,
+                                 tolerance)
+            * soft_visibility_spheres(sp.center, sp.radius, origin,
+                                      direction, max_dist, t_min, beta,
+                                      tolerance))
+
+
+def soft_visibility_tris(v0, e1, e2, area, origin, direction, max_dist,
+                         t_min: float, beta: float,
+                         tolerance: float) -> jax.Array:
+    """``prod(1 - soft_cover)`` over an explicit triangle set, (R,).  The
+    array-level core of ``soft_visibility`` — the mesh path gates it over
+    a compacted ray subset (``models.mesh.make_soft_vis_fn``)."""
     ox, oy, oz = origin[:, 0:1], origin[:, 1:2], origin[:, 2:3]
     dx, dy, dz = direction[:, 0:1], direction[:, 1:2], direction[:, 2:3]
-    e1x, e1y, e1z = tr.e1[None, :, 0], tr.e1[None, :, 1], tr.e1[None, :, 2]
-    e2x, e2y, e2z = tr.e2[None, :, 0], tr.e2[None, :, 1], tr.e2[None, :, 2]
-    v0x, v0y, v0z = tr.v0[None, :, 0], tr.v0[None, :, 1], tr.v0[None, :, 2]
+    e1x, e1y, e1z = e1[None, :, 0], e1[None, :, 1], e1[None, :, 2]
+    e2x, e2y, e2z = e2[None, :, 0], e2[None, :, 1], e2[None, :, 2]
+    v0x, v0y, v0z = v0[None, :, 0], v0[None, :, 1], v0[None, :, 2]
 
     s1x = dy * e2z - dz * e2y
     s1y = dz * e2x - dx * e2z
@@ -295,22 +309,26 @@ def soft_visibility(scene: Scene, origin, direction, max_dist,
     in_window = (ok_det & (t > t_min)
                  & (t < max_dist[:, None] - tolerance))       # (R, N)
     bary_margin = jnp.minimum(jnp.minimum(b1, b2), 1.0 - b1 - b2)
-    height_scale = jnp.sqrt(jnp.maximum(2.0 * tr.area, 1e-12))[None, :]
+    height_scale = jnp.sqrt(jnp.maximum(2.0 * area, 1e-12))[None, :]
     margin = bary_margin * height_scale                        # ~world units
     cover_t = jax.nn.sigmoid(jnp.clip(margin / beta, -30.0, 30.0))
     cover_t = jnp.where(in_window, cover_t, 0.0)
+    return jnp.prod(1.0 - cover_t, -1)
 
-    oc = sp.center[None, :, :] - origin[:, None, :]            # (R, S, 3)
+
+def soft_visibility_spheres(center, radius, origin, direction, max_dist,
+                            t_min: float, beta: float,
+                            tolerance: float) -> jax.Array:
+    oc = center[None, :, :] - origin[:, None, :]               # (R, S, 3)
     proj = jnp.sum(oc * direction[:, None, :], -1)             # (R, S)
     d2 = jnp.maximum(jnp.sum(oc * oc, -1) - proj * proj, 1e-12)
     impact = jnp.sqrt(d2)
-    r_abs = jnp.abs(sp.radius)[None, :]
+    r_abs = jnp.abs(radius)[None, :]
     in_win_s = ((proj > t_min) & (proj < max_dist[:, None] - tolerance)
                 & (r_abs > 0.0))
     cover_s = jax.nn.sigmoid(jnp.clip((r_abs - impact) / beta, -30.0, 30.0))
     cover_s = jnp.where(in_win_s, cover_s, 0.0)
-
-    return (jnp.prod(1.0 - cover_t, -1) * jnp.prod(1.0 - cover_s, -1))
+    return jnp.prod(1.0 - cover_s, -1)
 
 
 def occluded(scene: Scene, origin, direction, max_dist,

@@ -11,6 +11,7 @@ Runs on the CPU backend through the Pallas interpreter.
 """
 
 import numpy as np
+import pytest
 
 import jax.numpy as jnp
 
@@ -81,12 +82,38 @@ def test_fused_mesh_parity():
     _parity(cfg, n_steps=6)
 
 
+@pytest.mark.slow
 def test_fused_mesh_parity_padded_lanes():
     # 41x37 = 1517 lanes — not a multiple of the 4096-lane tile.
     cfg = RenderConfig(width=41, height=37, spp=2, max_depth=3,
                        rr_survival=0.5)
     ref, got = _parity(cfg, n_steps=4)
     assert int(got.nrays) > 0
+
+
+@pytest.mark.slow
+def test_fused_mesh_shortlist_stream_parity():
+    """resident=False (the beyond-SMEM shortlist-streaming mode) must step
+    bit-identically to the resident sweep — same kernels' triangle math,
+    different work-list machinery."""
+    cfg = RenderConfig(width=48, height=48, spp=4, max_depth=3,
+                       rr_survival=0.8)
+    scene = _scene()
+    cam = cornell.cornell_camera()
+    key = rng.render_key(9)
+    n = scene.triangles.count
+    mp = fused_mesh.pack_mesh_scene(scene, gate_mask=np.arange(n) >= 22,
+                                    cluster_size=64)
+    st0 = mc.wavefront_init(scene, cam, cfg, key)
+    a, of_a, _ = fused_mesh.wavefront_steps_fused_mesh(
+        mp, cam, cfg, key, st0, 4, resident=True)
+    b, of_b, _ = fused_mesh.wavefront_steps_fused_mesh(
+        mp, cam, cfg, key, st0, 4, resident=False)
+    assert int(of_a) == 0 and int(of_b) == 0
+    np.testing.assert_array_equal(np.asarray(a.n_done),
+                                  np.asarray(b.n_done))
+    np.testing.assert_array_equal(np.asarray(a.acc), np.asarray(b.acc))
+    assert int(a.nrays) == int(b.nrays)
 
 
 def test_fused_mesh_overflow_reported():
@@ -106,6 +133,7 @@ def test_fused_mesh_overflow_reported():
     assert int(overflow) > 0
 
 
+@pytest.mark.slow
 def test_fused_mesh_image_converges_like_xla():
     scene = _scene()
     cam = cornell.cornell_camera()
@@ -127,6 +155,64 @@ def test_fused_mesh_image_converges_like_xla():
     np.testing.assert_allclose(a, b, rtol=2e-3, atol=2e-3)
 
 
+@pytest.mark.slow
+def test_gate_heuristic_adversarial_tessellated_room():
+    """A room built from SMALL triangles defeats the size heuristic: nearly
+    everything gates into the cluster path and the mesh predicate fires for
+    ~every lane (the camera sits inside the gated AABB).  The engine must
+    handle it GRACEFULLY: overflow reported, the adaptive driver doubles
+    caps and completes with a finite, lit image (VERDICT r4 next #9)."""
+    from cpu_based_ray_tracer_tpu import scene as scene_mod
+
+    base = _scene()
+    tr = base.triangles
+    verts = np.stack([np.asarray(tr.v0), np.asarray(tr.v0 + tr.e1),
+                      np.asarray(tr.v0 + tr.e2)], 1)
+    mats = np.asarray(tr.material)
+    emissive = np.asarray(base.materials.emissive)[mats]
+    # 1:4 midpoint subdivision of every NON-emissive triangle, three
+    # levels -> the whole room drops below the 15%-diagonal gate threshold
+    # (the light stays 2 triangles: emissive is never gated and huge
+    # unrolled smalls/light tables would also make this test's compile
+    # pathological rather than its workload)
+    keep_v, keep_m = verts[emissive], mats[emissive]
+    verts, mats = verts[~emissive], mats[~emissive]
+    for _ in range(3):
+        a, b, c = verts[:, 0], verts[:, 1], verts[:, 2]
+        ab, bc, ca = (a + b) / 2, (b + c) / 2, (c + a) / 2
+        verts = np.concatenate([
+            np.stack([a, ab, ca], 1), np.stack([ab, b, bc], 1),
+            np.stack([ca, bc, c], 1), np.stack([ab, bc, ca], 1)])
+        mats = np.concatenate([mats] * 4)
+    verts = np.concatenate([keep_v, verts])
+    mats = np.concatenate([keep_m, mats])
+    scene = base.replace(
+        triangles=scene_mod.make_triangles(verts, mats))
+    mp = fused_mesh.pack_mesh_scene(scene)
+    # the adversarial shape really does gate (almost) everything
+    assert mp.gate_mask.mean() > 0.9
+    cam = cornell.cornell_camera()
+    cfg = RenderConfig(width=80, height=80, spp=1, max_depth=2,
+                       rr_survival=0.8)
+    key = rng.render_key(2)
+    st0 = mc.wavefront_init(scene, cam, cfg, key)
+    rp = -(-st0.s.shape[0] // 4096) * 4096
+    assert rp > 4096                 # tight cap below the lane count
+    # tight caps overflow (reported, state discarded by the driver) ...
+    _, of_small, _ = fused_mesh.wavefront_steps_fused_mesh(
+        mp, cam, cfg, key, st0, 1, cap_main=4096, cap_shadow=4096)
+    assert int(of_small) > 0
+    # ... and the full-cap rerun (what render_turbo_mesh's doubling
+    # converges to) completes cleanly with finite, lit output
+    st, of_full, _ = fused_mesh.wavefront_steps_fused_mesh(
+        mp, cam, cfg, key, st0, 2, cap_main=rp, cap_shadow=rp)
+    assert int(of_full) == 0
+    acc = np.asarray(st.acc) + np.asarray(st.cur)
+    assert np.isfinite(acc).all()
+    assert acc.max() > 0.0
+
+
+@pytest.mark.slow
 def test_render_turbo_mesh_adaptive_caps():
     """The driver doubles overflowing caps and re-runs the chunk; the final
     image is finite, lit, and every pixel reaches the target SPP."""

@@ -85,6 +85,83 @@ def test_light_emission_gradient_through_packet_vs_fd():
     np.testing.assert_allclose(g, fd, rtol=5e-2)
 
 
+def test_gated_soft_visibility_matches_brute():
+    """make_soft_vis_fn (mesh-AABB gate + compaction) vs the O(R x N)
+    brute soft_visibility: same values up to the inflated-AABB sigmoid
+    tail cut (< e^-10 per occluder)."""
+    from cpu_based_ray_tracer_tpu.ops import intersect
+
+    scene = _mesh_scene()
+    rng_np = np.random.default_rng(4)
+    r = 256
+    p = jnp.asarray(rng_np.uniform([0.2, 0.2, 0.2], [3.5, 3.5, 3.3],
+                                   (r, 3)).astype(np.float32))
+    w = jnp.asarray(rng_np.standard_normal((r, 3)).astype(np.float32))
+    w = w / jnp.linalg.norm(w, axis=-1, keepdims=True)
+    dist = jnp.asarray(rng_np.uniform(0.5, 4.0, (r,)).astype(np.float32))
+    beta = 0.05
+    ref = intersect.soft_visibility(scene, p, w, dist, 1e-3, beta, 0.01)
+    fn = mesh_model.make_soft_vis_fn(
+        scene, gate_mask=np.arange(scene.triangles.count) >= 22)
+    got = fn(scene, p, w, dist, 1e-3, beta, 0.01)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_mesh_silhouette_gradient_fd_validated():
+    """Geometry (silhouette) gradients through the ACCELERATED route with
+    the gated soft-visibility estimator: analytic grad vs central finite
+    differences on a smooth, shadow-dominated loss (VERDICT r4 next #5 —
+    the fd upgrade of the finite/nonzero gate below).
+
+    max_depth=1 + a pixel mask excluding every primary ray that can reach
+    the (expanded) mesh AABB isolate the silhouette term: the masked
+    pixels' primaries hit fixed room geometry for any |dy| below the
+    expansion margin, so dy moves the loss ONLY through the mesh's soft
+    shadow — smooth in dy by construction."""
+    from cpu_based_ray_tracer_tpu import camera as cam_mod
+    from cpu_based_ray_tracer_tpu.ops import fused_mesh
+
+    scene = _mesh_scene()
+    cam = cornell.cornell_camera()
+    cfg = RenderConfig(width=16, height=16, spp=1, max_depth=1,
+                       soft_shadow_beta=0.08)
+    key = rng.render_key(11)
+    ifn, nfn = _fns(scene)
+    gate = np.arange(scene.triangles.count) >= 22
+    svf = mesh_model.make_soft_vis_fn(scene, gate_mask=gate)
+
+    # static mask: pixels whose center ray cannot reach the mesh AABB
+    # expanded by the fd range (no primary-winner flips for |dy| <= 0.15)
+    d0 = np.asarray(cam_mod.perspective_rays(cam, 16, 16)).reshape(-1, 3)
+    o0 = np.broadcast_to(np.asarray(cam.position), d0.shape)
+    tr = scene.triangles
+    verts = np.stack([np.asarray(tr.v0)[gate],
+                      np.asarray(tr.v0 + tr.e1)[gate],
+                      np.asarray(tr.v0 + tr.e2)[gate]], 1).reshape(-1, 3)
+    lo, hi = verts.min(0) - 0.15, verts.max(0) + 0.15
+    crosses = np.asarray(fused_mesh._slab_crosses(
+        jnp.asarray(o0), jnp.asarray(d0), lo, hi, 1e-3,
+        jnp.full((256,), 1e30, jnp.float32)))
+    floor = (~crosses).reshape(16, 16, 1).astype(np.float32)
+    assert floor.sum() > 50                        # mask is non-trivial
+
+    def loss(dy):
+        tr = scene.triangles
+        v0 = tr.v0.at[22:, 1].add(dy)              # lift the mesh
+        s2 = scene.replace(triangles=tr.replace(v0=v0))
+        img = mc.render(s2, cam, cfg, key, intersect_fn=ifn,
+                        nearest_t_fn=nfn, soft_vis_fn=svf)
+        return jnp.mean(img * floor)
+
+    g = float(jax.grad(loss)(jnp.float32(0.0)))
+    eps = 5e-3
+    fd = (float(loss(jnp.float32(eps))) - float(loss(jnp.float32(-eps)))) \
+        / (2 * eps)
+    assert np.isfinite(g)
+    np.testing.assert_allclose(g, fd, rtol=7e-2, atol=1e-5)
+
+
 def test_mesh_geometry_gradient_through_packet_is_finite():
     # Vertex gradients w.r.t. the MESH's own geometry through the detached-
     # traversal/attached-shading route: finite and nonzero (fd on hard

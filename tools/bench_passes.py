@@ -62,8 +62,9 @@ def main():
 
     w, h = args.width, args.height
     want = (set(args.only.split(",")) if args.only else
-            {"mc", "fused", "mcmesh", "whitted", "mesh", "packet", "jbf",
-             "temporal"})
+            {"mc", "fused", "mcmesh", "mcmeshfused", "mcmeshscale",
+             "whitted", "mesh", "packet", "jbf", "temporal", "denoiserfps",
+             "whittedfused", "rtiowfused"})
     out_path = args.out or os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "PERF_PASSES.json")
     report = {"platform": jax.devices()[0].platform,
@@ -216,6 +217,62 @@ def main():
             "overflow": int(np.asarray(of)),
             "seconds_per_step": dt / (3 * n_steps), "lanes": h * w}
         print("mcmeshfused:", P["mc_mesh_fused"], flush=True)
+
+    if "mcmeshscale" in want:
+        # Scale receipts (VERDICT r4 next #2): the fused mesh-MC engine on
+        # bunny+teapot-in-Cornell (11k tris, SMEM-resident) and a 164k-tri
+        # scene (shortlist-streaming past the SMEM budget).
+        from cpu_based_ray_tracer_tpu.ops import fused_mesh
+
+        def scale_case(tris_np, tag, steps=16):
+            scene = cornell.cornell_mesh_scene(tris_np)
+            cam = cornell.cornell_camera()
+            cfg = RenderConfig(width=w, height=h, spp=8, max_depth=16,
+                               rr_survival=0.8)
+            mp = fused_mesh.pack_mesh_scene(scene)
+            rp = -(-h * w // 4096) * 4096
+            kw = {"cap_main": rp // 8, "cap_shadow": rp // 16}
+            st = monte_carlo.wavefront_init(scene, cam, cfg, key)
+            st, of, _ = fused_mesh.wavefront_steps_fused_mesh(
+                mp, cam, cfg, key, st, steps, **kw)
+            jax.block_until_ready(st.acc)
+            for _ in range(4):
+                if int(np.asarray(of)) == 0:
+                    break
+                kw = {k: min(2 * v, rp) for k, v in kw.items()}
+                st, of, _ = fused_mesh.wavefront_steps_fused_mesh(
+                    mp, cam, cfg, key, st, steps, **kw)
+                jax.block_until_ready(st.acc)
+            r0, t0 = int(np.asarray(st.nrays)), time.perf_counter()
+            for _ in range(3):
+                st, of, _ = fused_mesh.wavefront_steps_fused_mesh(
+                    mp, cam, cfg, key, st, steps, **kw)
+            jax.block_until_ready(st.acc)
+            dt = time.perf_counter() - t0
+            c = mp.smc_aabb.shape[0]
+            P[tag] = {
+                "rays_per_s": (int(np.asarray(st.nrays)) - r0) / dt,
+                "tris": int(scene.triangles.count), "clusters": c,
+                "resident": bool(c * mp.cs * fused_mesh.MESH_NF * 4
+                                 <= fused_mesh.SMEM_RESIDENT_BUDGET),
+                "overflow": int(np.asarray(of)),
+                "seconds_per_step": dt / (3 * steps)}
+            print(tag + ":", P[tag], flush=True)
+
+        src = meshes.reference_asset_dir()
+        if src is not None:
+            from cpu_based_ray_tracer_tpu.utils import objio
+            bunny, _ = objio.load_obj(
+                os.path.join(src, "stanford_bunny.obj"))
+            teapot, _ = objio.load_obj(
+                os.path.join(src, "utah_teapot.obj"),
+                translate=(0.0, -1.0, 0.0))
+            scale_case(np.concatenate([bunny * 40.0, teapot]),
+                       "mc_mesh_fused_11k")
+        ico = meshes.icosphere(6, radius=1.0)
+        scale_case(np.concatenate(
+            [ico, ico * 0.6 + np.array([1.2, 0.9, 0.3])]),
+            "mc_mesh_fused_164k")
 
     if "denoiserfps" in want:
         # Full Denoiser-stage frame (1-SPP fused G-buffer + atrous +
