@@ -692,7 +692,10 @@ def wavefront_steps_fused(fs: FusedScene, camera, cfg: RenderConfig, key,
     return mc.WavefrontState(
         s=si2[0], b=si2[1], o=v3(0), d=v3(1), tp=v3(2), cur=v3(3),
         acc=v3(4), n_done=si2[2],
-        nrays=state.nrays + jnp.int32(n_steps * n_valid) + nsh)
+        # modulo 2^31: a 10,000-spp equal-spp run traces ~3e10 rays —
+        # far past int32; the counter wraps rather than refusing the render
+        nrays=state.nrays + jnp.int32((n_steps * n_valid) % (1 << 31))
+        + nsh)
 
 
 def single_sample_gbuffer(fs: FusedScene, camera, cfg: RenderConfig, key,

@@ -391,7 +391,7 @@ def _k2_kernel(seed_ref, cam_ref, stri_ref, ssph_ref, mat_ref, light_ref,
                dsem, *, n_stri: int, n_sph: int, n_light: int,
                n_mat: int, width: int, height: int, n_pix: int, t_min: float,
                eps_offset: float, rr_survival: float, shadow_tol: float,
-               max_depth: int):
+               max_depth: int, stop_after: int = 0):
     f32 = jnp.float32
     i = pl.program_id(0)
     # this tile's packed shadow ids + occlusion flags (see _k1b_kernel)
@@ -484,7 +484,11 @@ def _k2_kernel(seed_ref, cam_ref, stri_ref, ssph_ref, mat_ref, light_ref,
     hit = t_hit < f32(NO_HIT)
     hit_emissive = hit & (bef > 0.5)
     is_primary = bb == 0
-    alive0 = valid
+    # Equal-spp mode (stop_after > 0): a lane whose pixel has completed its
+    # quota idles — the reference's fixed-spp estimator at fused-engine
+    # speed (ops.fused's gating, ported; drives render_turbo_mesh_exact).
+    armed = (nd < stop_after) if stop_after > 0 else None
+    alive0 = (valid & armed) if stop_after > 0 else valid
 
     dux, duy, duz = _norm3(dx, dy, dz)
     skyw = 0.5 * (duy + 1.0)
@@ -622,7 +626,7 @@ def _k2_kernel(seed_ref, cam_ref, stri_ref, ssph_ref, mat_ref, light_ref,
 
     # --- persistent-wavefront bookkeeping (monte_carlo.wavefront_steps).
     cont = continues & (bb + 1 < max_depth)
-    done = ~cont
+    done = (~cont & armed) if stop_after > 0 else ~cont
     axp = axp + jnp.where(done, cux, 0.0)
     ayp = ayp + jnp.where(done, cuy, 0.0)
     azp = azp + jnp.where(done, cuz, 0.0)
@@ -1367,13 +1371,13 @@ def _slab_crosses(o, d, lo, hi, t_lo, t_hi):
     jax.jit, static_argnames=(
         "n_stri", "n_sph", "n_light", "n_mat", "n_steps", "width", "height",
         "n_pix", "t_min", "eps_offset", "rr_survival", "shadow_tol",
-        "max_depth", "cap_main", "cap_shadow", "cs", "n_clusters",
-        "n_pred", "msub", "resident", "interpret"))
+        "max_depth", "stop_after", "cap_main", "cap_shadow", "cs",
+        "n_clusters", "n_pred", "msub", "resident", "interpret"))
 def _run_steps(stri, ssph, mat, light, sky, smc_tri, smc_aabb, pred_aabb,
                seed, cam16, pix_planes, pxy_planes, sf, si, *, n_stri, n_sph,
                n_light, n_mat, n_steps, width, height, n_pix, t_min,
-               eps_offset, rr_survival, shadow_tol, max_depth, cap_main,
-               cap_shadow, cs, n_clusters, n_pred, msub, resident,
+               eps_offset, rr_survival, shadow_tol, max_depth, stop_after,
+               cap_main, cap_shadow, cs, n_clusters, n_pred, msub, resident,
                interpret):
     rp = sf.shape[1] * 128
     g = sf.shape[1] // SUB
@@ -1392,7 +1396,8 @@ def _run_steps(stri, ssph, mat, light, sky, smc_tri, smc_aabb, pred_aabb,
         _k2_kernel, n_stri=n_stri, n_sph=n_sph, n_light=n_light,
         n_mat=n_mat, width=width, height=height, n_pix=n_pix, t_min=t_min,
         eps_offset=eps_offset, rr_survival=rr_survival,
-        shadow_tol=shadow_tol, max_depth=max_depth)
+        shadow_tol=shadow_tol, max_depth=max_depth,
+        stop_after=stop_after)
 
     def flat(p3):          # (P, rows, 128) -> (P, rp)
         return p3.reshape(p3.shape[0], rp)
@@ -1527,6 +1532,7 @@ def wavefront_steps_fused_mesh(mp: MeshPack, camera, cfg: RenderConfig, key,
                                pixel_offset: int = 0,
                                msub: int = SUB,
                                resident: bool | None = None,
+                               stop_after: int = 0,
                                interpret: bool | None = None):
     """Drop-in fused-mesh equivalent of ``monte_carlo.wavefront_steps``
     driven through ``models.mesh.make_intersect_fn`` — returns the advanced
@@ -1600,7 +1606,8 @@ def wavefront_steps_fused_mesh(mp: MeshPack, camera, cfg: RenderConfig, key,
         eps_offset=float(cfg.eps_offset),
         rr_survival=float(cfg.rr_survival),
         shadow_tol=float(cfg.shadow_tolerance),
-        max_depth=int(cfg.max_depth), cap_main=int(cap_main),
+        max_depth=int(cfg.max_depth), stop_after=int(stop_after),
+        cap_main=int(cap_main),
         cap_shadow=int(cap_shadow), cs=mp.cs,
         n_clusters=n_cl, n_pred=pred_aabb.shape[0], msub=int(msub),
         resident=bool(resident), interpret=bool(interpret))
@@ -1613,8 +1620,41 @@ def wavefront_steps_fused_mesh(mp: MeshPack, camera, cfg: RenderConfig, key,
     new_state = mc.WavefrontState(
         s=si2[0], b=si2[1], o=v3(0), d=v3(1), tp=v3(2), cur=v3(3),
         acc=v3(4), n_done=si2[2],
-        nrays=state.nrays + jnp.int32(n_steps * r) + nsh)
+        nrays=state.nrays + jnp.int32((n_steps * r) % (1 << 31)) + nsh)
     return new_state, overflow, npred
+
+
+def render_turbo_mesh_exact(scene: Scene, camera, cfg: RenderConfig, key, *,
+                            gate_mask: Optional[np.ndarray] = None,
+                            cluster_size: int = 128,
+                            interpret: bool | None = None):
+    """Equal-SPP fused mesh rendering: every pixel completes exactly
+    ``cfg.spp`` samples then idles (``stop_after``) — the reference's
+    fixed-spp estimator over accelerated meshes with none of
+    ``render_turbo_mesh``'s per-pixel stopping-time bias, at fused-engine
+    speed.  Caps double on overflow exactly like the turbo driver."""
+    from cpu_based_ray_tracer_tpu.models import monte_carlo as mc
+
+    mp = pack_mesh_scene(scene, gate_mask=gate_mask,
+                         cluster_size=cluster_size)
+    state = mc.wavefront_init(scene, camera, cfg, key)
+    rp = -(-state.s.shape[0] // LANES_PER_TILE) * LANES_PER_TILE
+    cap_main = cap_shadow = max(LANES_PER_TILE, rp // 8)
+    chunk = max(32, cfg.max_depth)
+    for _ in range(cfg.spp * cfg.max_depth):
+        nxt, overflow, _np = wavefront_steps_fused_mesh(
+            mp, camera, cfg, key, state, chunk, cap_main=cap_main,
+            cap_shadow=cap_shadow, stop_after=int(cfg.spp),
+            interpret=interpret)
+        if int(overflow) > 0:
+            cap_main = min(2 * cap_main, rp)
+            cap_shadow = min(2 * cap_shadow, rp)
+            continue
+        state = nxt
+        if int(jnp.min(state.n_done)) >= cfg.spp:
+            break
+        chunk = min(2 * chunk, 4096)
+    return (state.acc / cfg.spp).reshape(cfg.height, cfg.width, 3)
 
 
 def render_turbo_mesh(scene: Scene, camera, cfg: RenderConfig, key, *,

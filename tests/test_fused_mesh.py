@@ -213,6 +213,28 @@ def test_gate_heuristic_adversarial_tessellated_room():
 
 
 @pytest.mark.slow
+def test_render_turbo_mesh_exact_equal_spp():
+    """The equal-SPP fused-mesh driver (stop_after) must reproduce the scan
+    engine's fixed-spp estimator over the accelerated mesh scene — the
+    bias-free semantics the showcase artifacts use (VERDICT r4 weak #2)."""
+    scene = _scene()
+    cam = cornell.cornell_camera()
+    cfg = RenderConfig(width=24, height=24, spp=3, max_depth=4,
+                       rr_survival=0.8)
+    key = rng.render_key(12)
+    n = scene.triangles.count
+    img_f = np.asarray(fused_mesh.render_turbo_mesh_exact(
+        scene, cam, cfg, key, gate_mask=np.arange(n) >= 22,
+        cluster_size=64))
+    bundle = mesh_model.prepare(scene, method="packet", cluster_size=64)
+    img_ref = np.asarray(mc.render(
+        scene, cam, cfg, key,
+        intersect_fn=mesh_model.make_intersect_fn(bundle),
+        nearest_t_fn=mesh_model.make_nearest_t_fn(bundle)))
+    np.testing.assert_allclose(img_f, img_ref, rtol=2e-3, atol=2e-3)
+
+
+@pytest.mark.slow
 def test_render_turbo_mesh_adaptive_caps():
     """The driver doubles overflowing caps and re-runs the chunk; the final
     image is finite, lit, and every pixel reaches the target SPP."""

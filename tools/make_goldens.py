@@ -148,8 +148,8 @@ def mc_bunny_cornell(w, h, spp, rr=0.8):
     the Cornell box when the reference checkout is present): the reference
     MC stage's BVH-backed-for-every-ray architecture
     (``Monte Carlo Path Tracer/.../Renderer.cpp:41``).  Fused mesh engine
-    on accelerators (equal-time progressive, every pixel >= spp), XLA
-    packet engine on CPU (equal-spp)."""
+    in EQUAL-SPP mode on accelerators (r5: stop_after gating, no
+    stopping-time bias), XLA packet engine on CPU (equal-spp)."""
     from cpu_based_ray_tracer_tpu.config import RenderConfig
     from cpu_based_ray_tracer_tpu.models import mesh as mesh_model
     from cpu_based_ray_tracer_tpu.scenes import cornell
@@ -162,8 +162,8 @@ def mc_bunny_cornell(w, h, spp, rr=0.8):
     key = rng.render_key(0)
     if jax.default_backend() != "cpu":
         from cpu_based_ray_tracer_tpu.ops import fused_mesh
-        img = fused_mesh.render_turbo_mesh(scene, cam, cfg, key)
-        engine = "fused_mesh"
+        img = fused_mesh.render_turbo_mesh_exact(scene, cam, cfg, key)
+        engine = "fused_mesh_exact"
     else:
         bundle = mesh_model.prepare(scene, method="packet")
         img = mesh_model.render_mc(bundle, cam, cfg, key)
