@@ -58,14 +58,24 @@ def recover_albedo(scene: Scene, camera, cfg: RenderConfig, key,
                    target: jax.Array, *, n_steps: int = 80,
                    lr: float = 0.1,
                    init_albedo: jax.Array | None = None,
-                   intersect_fn=None, nearest_t_fn=None) -> OptResult:
+                   intersect_fn=None, nearest_t_fn=None,
+                   engine: str = "auto") -> OptResult:
     """Recover the material albedo table from a rendered target image.
 
     Albedos are parameterized through a sigmoid (logit space) so iterates
     stay in (0, 1) without projection.  Returns the recovered table, the
     loss trace, and the final render.
+
+    ``engine``: "replay" records the path trace ONCE (albedo never moves a
+    discrete hit, so the trace is loop-invariant) and differentiates the
+    O(R·depth) replay each step — measured 6.2x/step over "scan" on the
+    bunny mesh scene and 2.3x on Cornell (PERF.md §6.5), with equal
+    gradients.  "scan" is the classic reverse-scan engine; "auto" picks
+    replay whenever it applies (hard shadows).
     """
     mats = scene.materials
+    use_replay = engine == "replay" or (engine == "auto"
+                                        and cfg.soft_shadow_beta == 0.0)
     if init_albedo is None:
         init_albedo = jnp.full_like(mats.albedo, 0.5)
     # Emissive rows are not observable through their albedo in this
@@ -79,10 +89,20 @@ def recover_albedo(scene: Scene, camera, cfg: RenderConfig, key,
         a = jax.nn.sigmoid(lg)
         return jnp.where(free[:, None], a, mats.albedo)
 
-    def loss_fn(lg):
-        img = render_with_albedo(scene, camera, cfg, key, albedo_of(lg),
-                                 intersect_fn, nearest_t_fn)
-        return jnp.mean((img - target) ** 2)
+    if use_replay:
+        recs = monte_carlo.record_trace(scene, camera, cfg, key,
+                                        intersect_fn=intersect_fn,
+                                        nearest_t_fn=nearest_t_fn)
+
+        def loss_fn(lg):
+            img = monte_carlo.render_from_trace(
+                _with_albedo(scene, albedo_of(lg)), camera, cfg, key, recs)
+            return jnp.mean((img - target) ** 2)
+    else:
+        def loss_fn(lg):
+            img = render_with_albedo(scene, camera, cfg, key, albedo_of(lg),
+                                     intersect_fn, nearest_t_fn)
+            return jnp.mean((img - target) ** 2)
 
     opt = optax.adam(lr)
 
@@ -106,13 +126,19 @@ def recover_albedo(scene: Scene, camera, cfg: RenderConfig, key,
 
 def recover_emission(scene: Scene, camera, cfg: RenderConfig, key,
                      target: jax.Array, *, n_steps: int = 60,
-                     lr: float = 0.2) -> OptResult:
+                     lr: float = 0.2, engine: str = "auto") -> OptResult:
     """Recover the light's emission radiance from a target image — the
     photometric-calibration variant.  Parameterized in LOG space: emission
     spans orders of magnitude, so multiplicative steps converge where
-    additive ones crawl."""
+    additive ones crawl.  ``engine``: as in ``recover_albedo`` (emission
+    updates never move a discrete hit either, so the trace is recorded once
+    and replayed every step)."""
     mats = scene.materials
     em_mask = mats.emissive
+    use_replay = engine == "replay" or (engine == "auto"
+                                        and cfg.soft_shadow_beta == 0.0)
+    recs = (monte_carlo.record_trace(scene, camera, cfg, key)
+            if use_replay else None)
 
     def emission_of(raw):
         e = jnp.exp(raw)
@@ -120,7 +146,10 @@ def recover_emission(scene: Scene, camera, cfg: RenderConfig, key,
 
     def loss_fn(raw):
         sc = scene.replace(materials=mats.replace(emission=emission_of(raw)))
-        img = monte_carlo.render(sc, camera, cfg, key)
+        if use_replay:
+            img = monte_carlo.render_from_trace(sc, camera, cfg, key, recs)
+        else:
+            img = monte_carlo.render(sc, camera, cfg, key)
         # Relative error: emission spans ~50x the albedo scale.
         return jnp.mean(((img - target) / (target + 0.1)) ** 2)
 

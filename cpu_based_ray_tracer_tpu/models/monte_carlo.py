@@ -50,9 +50,24 @@ def _brdf_diffuse(albedo, cos_in):
     return jnp.where(cos_in[..., None] >= 0.0, albedo / jnp.pi, 0.0)
 
 
+@_pytree
+class BounceRecord:
+    """The discrete outcome of one bounce, per lane — everything a
+    differentiable REPLAY cannot recompute cheaply (winner indices) or
+    continuously (boolean visibility): 7 bytes/lane/bounce.  All randomness
+    is counter-based, so it is NOT recorded — the replay regenerates it."""
+
+    prim: jax.Array         # (..., R) i32 winner primitive index (raw hit)
+    is_triangle: jax.Array  # (..., R) bool
+    hit: jax.Array          # (..., R) bool raw hit flag
+    visible: jax.Array      # (..., R) bool hard shadow-test result
+
+
 def _bounce_step(scene: Scene, cfg: RenderConfig, *, seed, pixel, sample,
                  bounce, o, d, throughput, alive,
-                 intersect_fn=None, nearest_t_fn=None, soft_vis_fn=None):
+                 intersect_fn=None, nearest_t_fn=None, soft_vis_fn=None,
+                 replay_rec: BounceRecord | None = None,
+                 with_record: bool = False):
     """One path-tracing bounce for a batch of lanes (the body of BOTH engines).
 
     ``sample``/``bounce`` may be scalars (the fixed-depth scan engine) or
@@ -63,6 +78,11 @@ def _bounce_step(scene: Scene, cfg: RenderConfig, *, seed, pixel, sample,
     Returns ``(radiance_delta, o', d', throughput', continues, n_main,
     n_shadow)`` where ``continues`` marks lanes whose path survives into the
     next bounce and the n_* are the honest ray counts of this step.
+
+    ``replay_rec``: a recorded :class:`BounceRecord` for this bounce — the
+    scene intersection and the shadow test are REPLAYED from it (bit-exact,
+    O(R), no (R, N) producers; see ``render_replay``).  ``with_record``:
+    also return this bounce's BounceRecord as an extra trailing element.
     """
     mats = scene.materials
     if intersect_fn is None:
@@ -72,7 +92,12 @@ def _bounce_step(scene: Scene, cfg: RenderConfig, *, seed, pixel, sample,
         nearest_t_fn = lambda s, oo, dd, tm: intersect.nearest_t(  # noqa: E731
             s, oo, dd, t_min=tm)
 
-    hit = intersect_fn(scene, o, d, cfg.t_min)
+    if replay_rec is not None:
+        hit = intersect.hit_from_record(scene, o, d, replay_rec.prim,
+                                        replay_rec.is_triangle,
+                                        replay_rec.hit, cfg.t_min)
+    else:
+        hit = intersect_fn(scene, o, d, cfg.t_min)
     n_main = jnp.sum(alive)
 
     # One contraction for all material lookups (ops.gather).
@@ -104,7 +129,14 @@ def _bounce_step(scene: Scene, cfg: RenderConfig, *, seed, pixel, sample,
     dist = jnp.squeeze(vec.norm(to_l), -1)
     wi_l = to_l / jnp.maximum(dist, 1e-20)[:, None]
     ln = jnp.where(vec.dot(ls.normal, -wi_l) < 0.0, -ls.normal, ls.normal)
-    if cfg.soft_shadow_beta > 0.0:
+    visible = None
+    if replay_rec is not None:
+        # Replay: the recorded hard-shadow bit.  Gradient-equal to the live
+        # test — `dist < occ_t + tol` is boolean, so occ_t never carries a
+        # cotangent; only `dist` (recomputed here) is differentiable.
+        visible = replay_rec.visible
+        vis_w = visible.astype(jnp.float32)
+    elif cfg.soft_shadow_beta > 0.0:
         # Differentiable-visibility estimator (SURVEY §7 hard part (c)):
         # edge-relaxed per-occluder coverage — smooth in occluder geometry
         # exactly at penumbra boundaries, where the binary test's gradient
@@ -139,13 +171,20 @@ def _bounce_step(scene: Scene, cfg: RenderConfig, *, seed, pixel, sample,
     throughput = jnp.where(continues[:, None], throughput * weight, throughput)
     o = jnp.where(continues[:, None], p, o)
     d = jnp.where(continues[:, None], wi, d)
-    return radiance, o, d, throughput, continues, n_main, n_shadow
+    out = (radiance, o, d, throughput, continues, n_main, n_shadow)
+    if with_record:
+        if visible is None:  # soft-shadow mode records no meaningful bit
+            visible = jnp.ones(alive.shape, bool)
+        out = out + (BounceRecord(prim=hit.prim, is_triangle=hit.is_triangle,
+                                  hit=hit.hit, visible=visible),)
+    return out
 
 
 def trace(scene: Scene, origin, direction, cfg: RenderConfig, *,
           seed, pixel, sample, count_rays: bool = False,
           intersect_fn=None, nearest_t_fn=None, soft_vis_fn=None,
-          first_hit=None):
+          first_hit=None, record: BounceRecord | None = None,
+          return_record: bool = False):
     """Path radiance for a batch of primary rays, (R, 3).
 
     seed: uint32 scalar; pixel: (R,) absolute pixel index (the RNG counter);
@@ -161,18 +200,30 @@ def trace(scene: Scene, origin, direction, cfg: RenderConfig, *,
     index, fully reverse-differentiable (the gradient tests and the inverse-
     rendering path go through here).  The forward-only ``render_wavefront``
     engine traces the same paths with much higher lane utilization.
+
+    ``return_record``: also return the stacked per-bounce
+    :class:`BounceRecord` trace, (max_depth, R) leaves.  ``record``: replay
+    the bounces from such a trace instead of intersecting the scene — see
+    ``render_replay`` for why.  Both require hard shadows and no
+    ``first_hit`` peel.
     """
+    if record is not None or return_record:
+        assert first_hit is None, "record/replay does not compose with the " \
+            "first_hit peel (the Denoiser G-buffer path)"
+        assert cfg.soft_shadow_beta == 0.0, \
+            "record/replay requires hard shadows (binary visibility bit)"
     r = origin.shape[0]
 
-    def body(state, bounce, bounce_intersect_fn=intersect_fn):
+    def body(state, xs, bounce_intersect_fn=intersect_fn):
+        bounce, rec_in = xs
         o, d, throughput, radiance, alive, nrays = state
-        delta, o, d, throughput, alive, n_main, n_shadow = _bounce_step(
+        delta, o, d, throughput, alive, n_main, n_shadow, rec = _bounce_step(
             scene, cfg, seed=seed, pixel=pixel, sample=sample, bounce=bounce,
             o=o, d=d, throughput=throughput, alive=alive,
             intersect_fn=bounce_intersect_fn, nearest_t_fn=nearest_t_fn,
-            soft_vis_fn=soft_vis_fn)
+            soft_vis_fn=soft_vis_fn, replay_rec=rec_in, with_record=True)
         return (o, d, throughput, radiance + delta, alive,
-                nrays + n_main + n_shadow), None
+                nrays + n_main + n_shadow), (rec if return_record else None)
 
     state = (origin, direction,
              jnp.ones((r, 3), origin.dtype), jnp.zeros((r, 3), origin.dtype),
@@ -180,14 +231,17 @@ def trace(scene: Scene, origin, direction, cfg: RenderConfig, *,
     start = 0
     if first_hit is not None:
         # Peel bounce 0 out of the scan, substituting the precomputed hit.
-        state, _ = body(state, 0,
+        state, _ = body(state, (0, None),
                         bounce_intersect_fn=lambda *_args: first_hit)
         start = 1
-    (_, _, _, radiance, _, nrays), _ = jax.lax.scan(
-        body, state, jnp.arange(start, cfg.max_depth))
+    (_, _, _, radiance, _, nrays), recs = jax.lax.scan(
+        body, state, (jnp.arange(start, cfg.max_depth), record))
+    out = (radiance,)
     if count_rays:
-        return radiance, nrays
-    return radiance
+        out = out + (nrays,)
+    if return_record:
+        out = out + (recs,)
+    return out if len(out) > 1 else radiance
 
 
 def _primary_rays(camera, cfg: RenderConfig, seed, sample,
@@ -250,6 +304,101 @@ def render_progressive(scene: Scene, camera, cfg: RenderConfig, key,
     acc, _ = jax.lax.scan(one_sample, accum,
                           start_sample + jnp.arange(cfg.spp))
     return acc, start_sample + cfg.spp
+
+
+def render_replay(scene: Scene, camera, cfg: RenderConfig, key, *,
+                  intersect_fn=None, nearest_t_fn=None) -> jax.Array:
+    """``render`` with an O(R·depth) gradient graph — the inverse-rendering
+    fast path ("record the traversal, differentiate the replay").
+
+    The standard differentiable engine pays the (R, N) scene-intersection
+    producers in BOTH directions: the winner t is the min of the t-matrix, so
+    reverse AD scatters cotangents back through the full producer at every
+    bounce (measured 3.6x a forward render for grad on the v5e, PERF.md
+    §6.5).  But the estimator's gradient only ever touches the *winner*:
+    this engine therefore
+
+    1. runs a stop-gradient INDEX PASS that records each bounce's discrete
+       outcome (:class:`BounceRecord`: winner primitive + hit + hard-shadow
+       visibility bits, 7 B/lane/bounce) — any intersector works here, so
+       mesh scenes can record through the accelerated BVH/packet routes
+       while the differentiable part stays brute-free;
+    2. REPLAYS the estimator differentiably from the trace: every hit is
+       reconstructed from its recorded winner by bit-exact per-lane
+       arithmetic twins (``ops.intersect.hit_from_record``), all randomness
+       is regenerated from the counter-based RNG, and the shadow bit is
+       substituted directly (its live form is boolean — gradient-free).
+
+    The image is bit-identical to ``render`` on TPU (asserted in
+    ``tests/test_replay.py``; XLA:CPU contracts the two programs' shading
+    fmas differently, leaving last-ulp drift) and the gradients are EQUAL,
+    not approximate:
+    the standard path's min/argmin VJP routes each lane's cotangent to
+    exactly the winner entry — the same function of the same winner data the
+    replay differentiates.  Like the standard detached-traversal gradients
+    (and the reference, which has no gradients at all), silhouette/visibility
+    discontinuities are not differentiated; ``soft_shadow_beta`` covers those
+    and is guarded off here.
+
+    Reference parity: the forward estimator is Renderer.cpp:136-214 exactly
+    (Monte Carlo Path Tracer); the replay architecture has no reference
+    counterpart — it exists so inverse rendering runs at engine speed.
+    """
+    recs = record_trace(scene, camera, cfg, key,
+                        intersect_fn=intersect_fn, nearest_t_fn=nearest_t_fn)
+    return render_from_trace(scene, camera, cfg, key, recs)
+
+
+def record_trace(scene: Scene, camera, cfg: RenderConfig, key, *,
+                 intersect_fn=None, nearest_t_fn=None) -> BounceRecord:
+    """The stop-gradient INDEX PASS of ``render_replay``: the stacked
+    (spp, max_depth, R) :class:`BounceRecord` trace of every bounce.
+
+    Exposed separately because the trace is a function of the *discrete*
+    scene only: a material/emission-stage inverse loop records once and
+    replays every optimizer step (the trace is invariant under albedo and
+    emission updates — PERF.md §6.5 measures the step savings); geometry
+    stages re-record when the geometry moves.
+    """
+    seed = rng.seed_from_key(key)
+    scene_sg = jax.lax.stop_gradient(scene)
+
+    def one_sample(_, s):
+        o, d, pixel = _primary_rays(camera, cfg, seed, s)
+        o_sg, d_sg = jax.lax.stop_gradient((o, d))
+        _, rec = trace(scene_sg, o_sg, d_sg, cfg, seed=seed, pixel=pixel,
+                       sample=s, return_record=True,
+                       intersect_fn=intersect_fn, nearest_t_fn=nearest_t_fn)
+        return 0, rec
+
+    _, recs = jax.lax.scan(one_sample, 0, jnp.arange(cfg.spp))
+    return jax.lax.stop_gradient(recs)
+
+
+def render_from_trace(scene: Scene, camera, cfg: RenderConfig, key,
+                      recs: BounceRecord) -> jax.Array:
+    """The differentiable REPLAY of ``render_replay`` from a recorded trace.
+
+    The per-sample body is rematerialized (``jax.checkpoint``): the replay's
+    recompute is O(R) per bounce, so trading the backward pass's residual
+    HBM traffic for recompute is a measured ~2x on the grad step (PERF.md
+    §6.5) — the remat that would NOT pay on the standard engine, whose
+    recompute re-runs the (R, N) producers.
+    """
+    h, w = cfg.height, cfg.width
+    seed = rng.seed_from_key(key)
+
+    @jax.checkpoint
+    def one_sample(acc, xs):
+        s, rec = xs
+        o, d, pixel = _primary_rays(camera, cfg, seed, s)
+        rad = trace(scene, o, d, cfg, seed=seed, pixel=pixel, sample=s,
+                    record=rec)
+        return acc + rad.reshape(h, w, 3), None
+
+    acc, _ = jax.lax.scan(one_sample, jnp.zeros((h, w, 3), jnp.float32),
+                          (jnp.arange(cfg.spp), recs))
+    return acc / cfg.spp
 
 
 def render_wavefront(scene: Scene, camera, cfg: RenderConfig, key,

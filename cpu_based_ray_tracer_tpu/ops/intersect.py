@@ -187,6 +187,20 @@ def assemble_hit(scene: Scene, origin, direction, tt, best_t,
     is_tri = tt < ts
     t = jnp.minimum(ts, tt)
     hit = t < NO_HIT_T
+    return _winner_hit(scene, origin, direction, best_t, best_s, is_tri, t,
+                       hit)
+
+
+def _winner_hit(scene: Scene, origin, direction, best_t, best_s, is_tri, t,
+                hit, tri_g=None, sph_g=None) -> Hit:
+    """Hit record from per-lane *winner* data only (O(R), differentiable):
+    triangle index ``best_t``, sphere index ``best_s``, the winner flags and
+    the winner distance ``t``.  Shared by ``assemble_hit`` (which derives the
+    winners from the (R, N)/(R, S) reductions) and ``hit_from_record`` (which
+    reconstructs them from a recorded index trace — the replay path).
+    ``tri_g``/``sph_g``: the already-gathered attribute packs, for callers
+    that needed them earlier (one contraction per primitive type total)."""
+    sp, tr = scene.spheres, scene.triangles
     prim = jnp.where(is_tri, best_t, best_s)
 
     # Miss lanes keep t = NO_HIT_T in the record, but the POINT is computed
@@ -198,11 +212,15 @@ def assemble_hit(scene: Scene, origin, direction, tt, best_t,
     # All per-winner lookups go through ONE one-hot contraction per primitive
     # type (ops.gather): dynamic gathers at R ~ 1M are slower than the whole
     # intersection pass on TPU.
-    (n_tri, tv0, te1, te2, tuv0, tuv1, tuv2, tmat_f) = gather.take_packed(
-        best_t, tr.normal, tr.v0, tr.e1, tr.e2, tr.uv0, tr.uv1, tr.uv2,
-        tr.material.astype(jnp.float32))
-    (c_hit, r_hit, smat_f) = gather.take_packed(
-        best_s, sp.center, sp.radius, sp.material.astype(jnp.float32))
+    if tri_g is None:
+        tri_g = gather.take_packed(
+            best_t, tr.normal, tr.v0, tr.e1, tr.e2, tr.uv0, tr.uv1, tr.uv2,
+            tr.material.astype(jnp.float32))
+    if sph_g is None:
+        sph_g = gather.take_packed(
+            best_s, sp.center, sp.radius, sp.material.astype(jnp.float32))
+    (n_tri, tv0, te1, te2, tuv0, tuv1, tuv2, tmat_f) = tri_g
+    (c_hit, r_hit, smat_f) = sph_g
 
     # Sphere geometric normal: (p - c) / radius — sign of radius flips it
     # (Sphere.cpp:36; Dielectric.h bubble trick).
@@ -227,6 +245,100 @@ def assemble_hit(scene: Scene, origin, direction, tt, best_t,
     return Hit(t=jnp.where(hit, t, NO_HIT_T), hit=hit, is_triangle=is_tri,
                prim=prim.astype(jnp.int32), material=mat,
                point=point, geom_normal=geom_n, front=front, uv=uv_hit)
+
+
+def triangle_t_single(origin, direction, v0, e1, e2, t_min, t_max=INF,
+                      miss=NO_HIT_T):
+    """Per-lane twin of ``triangle_t_matrix`` for ONE triangle per ray (all
+    inputs (R, 3)) with the *identical* component arithmetic, so the value at
+    a recorded winner index is bit-exact to its (R, N) matrix entry — the
+    replay path's differentiable t recompute.
+
+    ``miss``: the sentinel for non-accepted lanes.  Callers that mask misses
+    themselves (the replay, via the recorded hit flag) pass a benign value:
+    a 3.4e38 sentinel flowing into downstream arithmetic invites
+    0-cotangent-times-inf NaNs when XLA fuses the selects."""
+    ox, oy, oz = origin[:, 0], origin[:, 1], origin[:, 2]
+    dx, dy, dz = direction[:, 0], direction[:, 1], direction[:, 2]
+    e1x, e1y, e1z = e1[:, 0], e1[:, 1], e1[:, 2]
+    e2x, e2y, e2z = e2[:, 0], e2[:, 1], e2[:, 2]
+    v0x, v0y, v0z = v0[:, 0], v0[:, 1], v0[:, 2]
+    s1x = dy * e2z - dz * e2y
+    s1y = dz * e2x - dx * e2z
+    s1z = dx * e2y - dy * e2x
+    det = _dot3(s1x, s1y, s1z, e1x, e1y, e1z)
+    ok_det = jnp.abs(det) > _DET_EPS
+    inv_det = 1.0 / jnp.where(ok_det, det, 1.0)
+    sx, sy, sz = ox - v0x, oy - v0y, oz - v0z
+    s2x = sy * e1z - sz * e1y
+    s2y = sz * e1x - sx * e1z
+    s2z = sx * e1y - sy * e1x
+    t = _dot3(s2x, s2y, s2z, e2x, e2y, e2z) * inv_det
+    b1 = _dot3(s1x, s1y, s1z, sx, sy, sz) * inv_det
+    b2 = _dot3(s2x, s2y, s2z, dx, dy, dz) * inv_det
+    ok = (ok_det & (t > t_min) & (t < t_max)
+          & (b1 >= 0.0) & (b2 >= 0.0) & (1.0 - b1 - b2 >= 0.0))
+    return jnp.where(ok, t, miss)
+
+
+def sphere_t_single(origin, direction, center, radius, t_min, t_max=INF,
+                    miss=NO_HIT_T):
+    """Per-lane twin of ``intersect_spheres`` for ONE sphere per ray
+    (center (R, 3), radius (R,)) — identical arithmetic, bit-exact at a
+    recorded winner index (near-then-far root selection included).
+    ``miss``: see ``triangle_t_single``."""
+    oc = origin - center
+    a = jnp.sum(direction * direction, -1)
+    half_b = jnp.sum(oc * direction, -1)
+    c = jnp.sum(oc * oc, -1) - radius * radius
+    disc = half_b * half_b - a * c
+    ok = disc > 0.0
+    sq = jnp.sqrt(jnp.where(ok, disc, 1.0))
+    t_near = (-half_b - sq) / a
+    t_far = (-half_b + sq) / a
+    near_ok = ok & (t_near > t_min) & (t_near < t_max)
+    far_ok = ok & (t_far > t_min) & (t_far < t_max)
+    return jnp.where(near_ok, t_near, jnp.where(far_ok, t_far, miss))
+
+
+def hit_from_record(scene: Scene, origin, direction, prim, is_tri, hitflag,
+                    t_min: float, t_max: float = INF) -> Hit:
+    """Differentiable Hit reconstruction from a RECORDED winner (the replay
+    path of ``models.monte_carlo.render_replay``).
+
+    Given the discrete outcome of a nearest-hit query — winner primitive
+    index ``prim`` (i32, within its SoA), ``is_tri`` and the raw ``hitflag``
+    — the full Hit is recomputed in O(R) from the winner's gathered data:
+    no (R, N) intersection producer enters the computation, so reverse-mode
+    AD through the result is O(R) too.  Values are bit-exact to
+    ``intersect_scene`` on the same rays (the t recomputes are arithmetic
+    twins of the matrix producers), and gradients are *equal* to the
+    detached-traversal gradients of the standard path: there, the min/argmin
+    VJP routes each lane's cotangent to exactly the winner entry — the same
+    function of the same winner data that is differentiated here.
+    """
+    tr, sp = scene.triangles, scene.spheres
+    best_t = jnp.where(is_tri, prim, 0)
+    best_s = jnp.where(is_tri, 0, prim)
+    # ONE contraction per primitive type: the t-recompute inputs ride the
+    # same pack as the attribute recompute inputs of _winner_hit.
+    tri_g = gather.take_packed(
+        best_t, tr.normal, tr.v0, tr.e1, tr.e2, tr.uv0, tr.uv1, tr.uv2,
+        tr.material.astype(jnp.float32))
+    sph_g = gather.take_packed(
+        best_s, sp.center, sp.radius, sp.material.astype(jnp.float32))
+    # miss=1.0: on replayed lanes every miss/deselected branch is masked by
+    # the RECORDED flags, so the recompute never needs the 3.4e38 sentinel —
+    # keeping it out of the graph prevents 0-cotangent x inf NaNs when the
+    # backward pass fuses these selects (seen on the TPU backend).
+    t_tri = triangle_t_single(origin, direction, tri_g[1], tri_g[2],
+                              tri_g[3], t_min, t_max, miss=1.0)
+    t_sph = sphere_t_single(origin, direction, sph_g[0], sph_g[1],
+                            t_min, t_max, miss=1.0)
+    t = jnp.where(is_tri, t_tri, t_sph)
+    t = jnp.where(hitflag, t, 1.0)  # Hit.t re-sentinels misses itself
+    return _winner_hit(scene, origin, direction, best_t, best_s, is_tri, t,
+                       hitflag, tri_g=tri_g, sph_g=sph_g)
 
 
 def nearest_t(scene: Scene, origin, direction,

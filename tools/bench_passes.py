@@ -64,7 +64,7 @@ def main():
     want = (set(args.only.split(",")) if args.only else
             {"mc", "fused", "mcmesh", "mcmeshfused", "mcmeshscale",
              "whitted", "mesh", "packet", "jbf", "temporal", "denoiserfps",
-             "whittedfused", "rtiowfused"})
+             "whittedfused", "rtiowfused", "gradstep"})
     out_path = args.out or os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "PERF_PASSES.json")
     report = {"platform": jax.devices()[0].platform,
@@ -437,6 +437,67 @@ def main():
             P[tag] = {"seconds_per_frame": s, "fps": 1.0 / s,
                       "tris": n_tris, "method": method}
             print("mesh:", P[tag], flush=True)
+
+    if "gradstep" in want:
+        # Inverse-rendering step cost: classic reverse-scan engine vs the
+        # record/replay engine (monte_carlo.render_replay, PERF.md §6.5).
+        # Material-stage loops record once and replay every step; the
+        # receipt reports both the per-step replay grad and the one-off
+        # record pass.  Gradients are asserted equal (allclose) in-run.
+        import dataclasses
+
+        def grad_case(scene, cam, cfg, tag, isect=None, near=None,
+                      isect_dif=None):
+            def with_albedo(a):
+                return dataclasses.replace(scene, materials=dataclasses.
+                                           replace(scene.materials, albedo=a))
+
+            def loss_std(a):
+                return jnp.mean(monte_carlo.render(
+                    with_albedo(a), cam, cfg, key,
+                    intersect_fn=isect_dif or isect,
+                    nearest_t_fn=near) ** 2)
+
+            rec_fn = jax.jit(lambda a: monte_carlo.record_trace(
+                with_albedo(a), cam, cfg, key,
+                intersect_fn=isect, nearest_t_fn=near))
+
+            def loss_rep(a, recs):
+                return jnp.mean(monte_carlo.render_from_trace(
+                    with_albedo(a), cam, cfg, key, recs) ** 2)
+
+            a0 = scene.materials.albedo
+            g_std = jax.jit(jax.value_and_grad(loss_std))
+            g_rep = jax.jit(jax.value_and_grad(loss_rep))
+            recs = jax.block_until_ready(rec_fn(a0))
+            t_rec = timeit(rec_fn, a0)
+            t_rep = timeit(g_rep, a0, recs)
+            t_std = timeit(g_std, a0)
+            v1, gr1 = g_std(a0)
+            v2, gr2 = g_rep(a0, recs)
+            assert np.allclose(np.asarray(gr1), np.asarray(gr2),
+                               rtol=1e-4, atol=1e-6), "replay grads diverged"
+            P[tag] = {"grad_std_ms": t_std * 1e3,
+                      "grad_replay_ms": t_rep * 1e3,
+                      "record_pass_ms": t_rec * 1e3,
+                      "speedup_material_stage": t_std / t_rep,
+                      "speedup_geometry_stage": t_std / (t_rep + t_rec),
+                      "loss_equal": bool(np.asarray(v1) == np.asarray(v2))}
+            print(tag + ":", P[tag], flush=True)
+
+        gcfg = RenderConfig(width=448, height=448, spp=4, max_depth=8)
+        grad_case(cornell.cornell_scene(), cornell.cornell_camera(), gcfg,
+                  "grad_step_cornell")
+        msc = cornell.cornell_mesh_scene()
+        bundle = mesh_model.prepare(msc, method="packet")
+        grad_case(msc, cornell.cornell_camera(),
+                  RenderConfig(width=448, height=448, spp=2, max_depth=8),
+                  "grad_step_mesh_bunny",
+                  isect=mesh_model.make_intersect_fn(bundle, sort_rays=True),
+                  near=mesh_model.make_nearest_t_fn(bundle, sort_rays=True),
+                  isect_dif=mesh_model.make_intersect_fn(
+                      bundle, sort_rays=True, differentiable=True))
+        P["grad_step_mesh_bunny"]["tris"] = int(msc.triangles.v0.shape[0])
 
     if "jbf" in want or "temporal" in want:
         scene, cam = cornell.cornell_scene(), cornell.cornell_camera()
